@@ -1,0 +1,102 @@
+"""Attention dispatch: Pallas flash attention on TPU, XLA reference path
+elsewhere / for short sequences / arbitrary masks.
+
+All model code calls :func:`dot_product_attention` with
+``[batch, seq, heads, head_dim]`` ("BSHD") tensors — the layout XLA prefers
+for fusing surrounding reshapes — and never materializes attention weights
+itself.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionrag_tpu.ops.flash_attention import flash_attention
+
+__all__ = ["dot_product_attention", "block_causal_mask"]
+
+# below this q*kv size the pallas launch overhead outweighs the win
+_FLASH_MIN_SEQ = 1024
+
+
+def _xla_attention(q, k, v, scale, mask, causal):
+    """Reference XLA path: fp32 softmax, bf16 matmuls. BHSD layout."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        cm = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
+    if mask is not None:
+        s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    # rows that are fully masked produce NaN from -inf softmax; zero them
+    if mask is not None:
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)
+        p = jnp.where(any_valid, p, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    mask: jnp.ndarray | None = None,
+    causal: bool = False,
+    use_flash: bool | None = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q: [b, sq, h, d];  k, v: [b, skv, hk, d] (hk == h or divides h for GQA).
+    mask: optional boolean [*, sq, skv] (True = attend), broadcastable over
+    batch/heads. Returns [b, sq, h, d].
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    if use_flash is None:
+        on_tpu = jax.default_backend() == "tpu"
+        use_flash = on_tpu and mask is None and sq * skv >= _FLASH_MIN_SEQ * _FLASH_MIN_SEQ
+
+    if use_flash:
+        out = flash_attention(qt, kt, vt, scale=scale, causal=causal)
+    else:
+        hk = kt.shape[1]
+        if hk != h:
+            kt = jnp.repeat(kt, h // hk, axis=1)
+            vt = jnp.repeat(vt, h // hk, axis=1)
+        if mask is not None and mask.ndim == 2:
+            mask = mask[None, None]
+        elif mask is not None and mask.ndim == 3:
+            mask = mask[:, None]
+        out = _xla_attention(qt, kt, vt, scale, mask, causal)
+    return out.transpose(0, 2, 1, 3)
+
+
+@functools.lru_cache(maxsize=16)
+def _block_causal_np(num_frames: int, frame_tokens: int) -> np.ndarray:
+    n = num_frames * frame_tokens
+    blocks = np.arange(n) // frame_tokens
+    return (blocks[None, :] <= blocks[:, None])
+
+
+def block_causal_mask(num_frames: int, frame_tokens: int) -> jnp.ndarray:
+    """Block-causal mask: token in frame i attends to frames <= i.
+
+    True = attend. Matches the semantics of the reference's
+    ``ConditionTransformer.get_mask`` (reference ``condition/module.py:131-135``,
+    which returns True = *blocked* for torch; we use the attend convention).
+    """
+    return jnp.asarray(_block_causal_np(num_frames, frame_tokens))

@@ -1,0 +1,393 @@
+"""Pallas TPU flash attention (forward + backward, custom VJP).
+
+The single hottest op of the framework: every denoiser (SVD UNet spatial
+attention at 9216 tokens/frame, DynamiCrafter UNet3D, CogVideoX joint
+text+video DiT attention at up to ~17.8k tokens) runs through this kernel
+inside the jitted sampler loop. Design follows the canonical TPU flash
+attention tiling (online softmax over KV tiles; fp32 statistics; bf16
+matmul inputs with fp32 MXU accumulation):
+
+  forward  grid (bh, n_q, n_kv)  — KV innermost ("arbitrary"), Q/batch
+           parallel; m/l/acc live in VMEM scratch across KV tiles.
+  dq       grid (bh, n_q, n_kv)  — recompute P from saved logsumexp.
+  dkv      grid (bh, n_kv, n_q)  — Q innermost; accumulate dK/dV in scratch.
+
+Replaces the reference's ``torch.nn.functional.scaled_dot_product_attention``
+call sites (e.g. reference ``lvdm/modules/attention.py:206-220``,
+``condition/attn_processor.py:103``, ``encoders/resampler.py:102``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale, block_q, block_k, q_len, kv_len, n_kv, causal,
+):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(1)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # causal: skip KV tiles strictly above the diagonal
+    run = True
+    if causal:
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0]  # [block_q, d]
+        k = k_ref[0]  # [block_k, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= scale
+
+        # mask out-of-range KV columns (padding) and causal upper triangle
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[...]  # [block_q, LANES] (replicated)
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [block_q, LANES]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0]  # [block_k, d]
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
+        # logsumexp = m + log l  (for the backward recompute)
+        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse_ref[0] = lse.astype(lse_ref.dtype)
+
+
+def _fwd(q, k, v, scale, causal, block_q, block_k, interpret):
+    bh, q_len, d = q.shape
+    kv_len = k.shape[1]
+    q_pad = _ceil_to(q_len, block_q)
+    kv_pad = _ceil_to(kv_len, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    n_q, n_kv = q_pad // block_q, kv_pad // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+        q_len=q_len,
+        kv_len=kv_len,
+        n_kv=n_kv,
+        causal=causal,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, q_pad, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :q_len], lse[:, :q_len, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
+    *, scale, block_q, block_k, kv_len, n_kv, causal,
+):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(1)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    run = True
+    if causal:
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+        lse = lse_ref[0][:, :1]  # [block_q, 1]
+        p = jnp.exp(s - lse)
+
+        do = do_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        di = di_ref[0][:, :1]
+        ds = p * (dp - di) * scale
+        dq_scr[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale, block_q, block_k, q_len, kv_len, n_q, causal,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    run = True
+    if causal:
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        # s^T : [block_k, block_q]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0) + kv_idx * block_k
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1) + q_idx * block_q
+        mask = jnp.logical_and(row < kv_len, col < q_len)
+        if causal:
+            mask = jnp.logical_and(mask, row <= col)
+        st = jnp.where(mask, st, NEG_INF)
+        lse = lse_ref[0][:, :1]  # [block_q, 1]
+        pt = jnp.exp(st - lse.T)  # [block_k, block_q]
+
+        do = do_ref[0].astype(jnp.float32)  # [block_q, d]
+        dv_scr[...] += jax.lax.dot(
+            pt.astype(do_ref.dtype), do_ref[0], preferred_element_type=jnp.float32
+        )
+
+        v = v_ref[0].astype(jnp.float32)
+        # dp^T = v @ do^T : [block_k, block_q]
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        di = di_ref[0][:, :1]
+        dst = pt * (dpt - di.T) * scale  # [block_k, block_q]
+        dk_scr[...] += jax.lax.dot(
+            dst.astype(q.dtype), q, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_impl(q, k, v, out, lse, do, scale, causal, block_q, block_k, interpret):
+    bh, q_len, d = q.shape
+    kv_len = k.shape[1]
+    q_pad = _ceil_to(q_len, block_q)
+    kv_pad = _ceil_to(kv_len, block_k)
+    n_q, n_kv = q_pad // block_q, kv_pad // block_k
+
+    di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [bh, q]
+
+    pad_q = lambda x: jnp.pad(x, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    pad_kv = lambda x: jnp.pad(x, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    qp, dop = pad_q(q), pad_q(do)
+    kp, vp = pad_kv(k), pad_kv(v)
+    # lse/di broadcast across LANES for aligned VMEM access
+    lse_p = jnp.pad(lse, ((0, 0), (0, q_pad - q_len)), constant_values=1.0)
+    di_p = jnp.pad(di, ((0, 0), (0, q_pad - q_len)))
+    lse_b = jnp.broadcast_to(lse_p[..., None], (bh, q_pad, LANES))
+    di_b = jnp.broadcast_to(di_p[..., None], (bh, q_pad, LANES))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            kv_len=kv_len, n_kv=n_kv, causal=causal,
+        ),
+        grid=(bh, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_b, di_b)[:, :q_len]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            q_len=q_len, kv_len=kv_len, n_q=n_q, causal=causal,
+        ),
+        grid=(bh, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, kv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, kv_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_b, di_b)
+    return dq, dk[:, :kv_len], dv[:, :kv_len]
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, causal, block_q, block_k, interpret):
+    out, _ = _fwd(q, k, v, scale, causal, block_q, block_k, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, scale, causal, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(scale, causal, block_q, block_k, interpret, res, do):
+    q, k, v, out, lse = res
+    return _bwd_impl(q, k, v, out, lse, do, scale, causal, block_q, block_k, interpret)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over [batch, heads, seq, head_dim] inputs.
+
+    Supports MHA (k/v heads == q heads) and GQA by head broadcasting.
+    Sequence lengths need not be multiples of the block sizes (padding is
+    masked inside the kernel).
+    """
+    b, h, sq, d = q.shape
+    hk = k.shape[1]
+    if hk != h:
+        assert h % hk == 0, f"GQA heads mismatch: {h} vs {hk}"
+        k = jnp.repeat(k, h // hk, axis=1)
+        v = jnp.repeat(v, h // hk, axis=1)
+    if scale is None:
+        scale = d ** -0.5
+    skv = k.shape[2]
+    block_q = min(block_q, _ceil_to(sq, LANES))
+    block_k = min(block_k, _ceil_to(skv, LANES))
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, skv, d)
+    vf = v.reshape(b * h, skv, d)
+    out = _flash(qf, kf, vf, float(scale), bool(causal), int(block_q), int(block_k), bool(interpret))
+    return out.reshape(b, h, sq, d)

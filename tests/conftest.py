@@ -1,0 +1,35 @@
+"""Test bootstrap: force an 8-device virtual CPU mesh BEFORE jax import.
+
+This is the TPU-native analogue of a fake distributed backend (the reference
+has none — SURVEY.md §4): every multi-device test runs on
+``--xla_force_host_platform_device_count=8`` CPU devices, so sharding and
+collectives are exercised without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from motionrag_tpu.parallel import MeshConfig, build_mesh
+
+    return build_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2))
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

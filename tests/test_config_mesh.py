@@ -1,0 +1,67 @@
+"""Tests for the config instantiation system and mesh construction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionrag_tpu.config import apply_overrides, instantiate_tree, to_partial
+from motionrag_tpu.parallel import MeshConfig, build_mesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def test_instantiate_class_path():
+    cfg = {
+        "model": {
+            "class_path": "collections.OrderedDict",
+            "init_args": {"a": 1, "b": {"class_path": "fractions.Fraction", "init_args": {"numerator": 1, "denominator": 2}}},
+        }
+    }
+    out = instantiate_tree(cfg)
+    from fractions import Fraction
+
+    assert out["model"]["a"] == 1
+    assert out["model"]["b"] == Fraction(1, 2)
+
+
+def test_to_partial():
+    spec = {"class_path": "fractions.Fraction", "init_args": {"denominator": 4}}
+    factory = to_partial(spec)
+    from fractions import Fraction
+
+    assert factory(numerator=3) == Fraction(3, 4)
+
+
+def test_apply_overrides_descends_init_args():
+    cfg = {
+        "model": {"class_path": "x.Y", "init_args": {"lr": 0.1}},
+        "data": {"batch_size": 4},
+    }
+    out = apply_overrides(cfg, ["--model.lr=0.5", "--data.batch_size=8", "--trainer.steps=10"])
+    assert out["model"]["init_args"]["lr"] == 0.5
+    assert out["data"]["batch_size"] == 8
+    assert out["trainer"]["steps"] == 10
+    assert cfg["model"]["init_args"]["lr"] == 0.1  # original untouched
+
+
+def test_mesh_resolution_and_sharding():
+    mesh = build_mesh(MeshConfig(dp=-1, tp=2))
+    assert mesh.devices.size == 8
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "dp": 4, "fsdp": 1, "tp": 2, "sp": 1,
+    }
+    x = jnp.zeros((8, 16))
+    xs = jax.device_put(x, NamedSharding(mesh, P(("dp", "fsdp"), "tp")))
+    assert xs.sharding.shard_shape(x.shape) == (2, 8)
+
+
+def test_mesh_psum_collective(mesh8):
+    from jax.experimental.shard_map import shard_map
+
+    def f(x):
+        return jax.lax.psum(x, axis_name="dp")
+
+    x = jnp.arange(8.0).reshape(2, 2, 2)
+    out = shard_map(
+        f, mesh=mesh8, in_specs=P("dp"), out_specs=P()
+    )(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x[0] + x[1]))

@@ -1,0 +1,184 @@
+"""Unit tests for the ops layer: flash attention numerics (pallas interpret
+mode vs XLA reference), positional embeddings, norms, masks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionrag_tpu.ops.attention import (
+    block_causal_mask,
+    dot_product_attention,
+    _xla_attention,
+)
+from motionrag_tpu.ops.flash_attention import flash_attention
+from motionrag_tpu.ops.norms import group_norm, layer_norm, rms_norm
+from motionrag_tpu.ops.posemb import (
+    apply_rope,
+    rope_cache,
+    sinusoid_table,
+    timestep_embedding,
+)
+
+
+def _ref_attn(q, k, v, scale=None, causal=False):
+    # independent numpy reference
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = scale or d ** -0.5
+    s = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float64) * scale
+    if causal:
+        mask = np.tril(np.ones((sq, skv), dtype=bool), k=skv - sq)
+        s = np.where(mask, s, -np.inf)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("sq,skv,d", [(256, 256, 64), (300, 300, 64), (128, 384, 32)])
+def test_flash_forward_matches_reference(rng, causal, sq, skv, d):
+    if causal and sq != skv:
+        pytest.skip("causal requires square here")
+    q = rng.standard_normal((1, 2, sq, d), dtype=np.float32)
+    k = rng.standard_normal((1, 2, skv, d), dtype=np.float32)
+    v = rng.standard_normal((1, 2, skv, d), dtype=np.float32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, block_q=128, block_k=128, interpret=True,
+    )
+    ref = _ref_attn(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_backward_matches_xla(rng, causal):
+    sq = skv = 256
+    d = 32
+    q = jnp.asarray(rng.standard_normal((1, 1, sq, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 1, skv, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 1, skv, d), dtype=np.float32))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, d ** -0.5, None, causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_dot_product_attention_bshd(rng):
+    b, s, h, d = 2, 64, 4, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    out = dot_product_attention(q, k, v)
+    ref = _ref_attn(
+        np.asarray(q).transpose(0, 2, 1, 3),
+        np.asarray(k).transpose(0, 2, 1, 3),
+        np.asarray(v).transpose(0, 2, 1, 3),
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_attention_mask_and_gqa(rng):
+    b, s, h, d = 1, 32, 4, 8
+    q = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, 2, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, 2, d), dtype=np.float32))
+    mask = block_causal_mask(4, 8)
+    out = dot_product_attention(q, k, v, mask=mask)
+    assert out.shape == (b, s, h, d)
+    # first frame tokens only attend within frame 0
+    k2 = k.at[:, 8:].set(999.0)  # changing masked-out keys must not matter...
+    v2 = v.at[:, 8:].set(999.0)
+    out2 = dot_product_attention(q, k2, v2, mask=mask)
+    np.testing.assert_allclose(np.asarray(out[:, :8]), np.asarray(out2[:, :8]), atol=1e-5)
+
+
+def test_block_causal_mask_semantics():
+    m = np.asarray(block_causal_mask(3, 2))
+    assert m.shape == (6, 6)
+    # frame 0 attends frame 0 only
+    assert m[0, :2].all() and not m[0, 2:].any()
+    # frame 2 attends everything
+    assert m[5].all()
+
+
+def test_sinusoid_table_matches_reference_formula():
+    dim, n = 16, 10
+    table = np.asarray(sinusoid_table(n, dim))
+    # independent recomputation (reference position_embeddings.py:163-168)
+    ref = np.array(
+        [
+            [p / np.power(10000, 2 * (j // 2) / dim) for j in range(dim)]
+            for p in range(n)
+        ]
+    )
+    ref[:, 0::2] = np.sin(ref[:, 0::2])
+    ref[:, 1::2] = np.cos(ref[:, 1::2])
+    np.testing.assert_allclose(table, ref, atol=1e-6)
+
+
+def test_rope_preserves_norm_and_zero_position(rng):
+    d = 32
+    cache = rope_cache(16, d)
+    x = jnp.asarray(rng.standard_normal((2, 16, 4, d), dtype=np.float32))
+    out = apply_rope(x, cache)
+    # position 0 is identity
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(x[:, 0]), atol=1e-6)
+    # rotation preserves pairwise norms
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_timestep_embedding_shape_and_range():
+    emb = timestep_embedding(jnp.asarray([0.0, 10.0, 999.0]), 320)
+    assert emb.shape == (3, 320)
+    assert np.abs(np.asarray(emb)).max() <= 1.0 + 1e-6
+    # t=0: cos half = 1, sin half = 0
+    np.testing.assert_allclose(np.asarray(emb[0, :160]), np.ones(160), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 160:]), np.zeros(160), atol=1e-6)
+
+
+def test_group_norm_matches_torch_semantics(rng):
+    import torch
+
+    x = rng.standard_normal((2, 6, 5, 8), dtype=np.float32)  # NHWC
+    scale = rng.standard_normal(8, dtype=np.float32)
+    bias = rng.standard_normal(8, dtype=np.float32)
+    out = group_norm(jnp.asarray(x), 4, jnp.asarray(scale), jnp.asarray(bias))
+    ref = torch.nn.functional.group_norm(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        4,
+        torch.from_numpy(scale),
+        torch.from_numpy(bias),
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_layer_norm_and_rms_norm(rng):
+    import torch
+
+    x = rng.standard_normal((3, 7, 12), dtype=np.float32)
+    s = rng.standard_normal(12, dtype=np.float32)
+    b = rng.standard_normal(12, dtype=np.float32)
+    out = layer_norm(jnp.asarray(x), jnp.asarray(s), jnp.asarray(b))
+    ref = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (12,), torch.from_numpy(s), torch.from_numpy(b)
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+    out = np.asarray(rms_norm(jnp.asarray(x)))
+    ref = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
