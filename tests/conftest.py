@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The env ships JAX_PLATFORMS=axon (TPU tunnel plugin) which wins over the
+# env var set above in some plugin load orders — force via jax.config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

@@ -55,13 +55,10 @@ def test_mesh_resolution_and_sharding():
 
 
 def test_mesh_psum_collective(mesh8):
-    from jax.experimental.shard_map import shard_map
-
     def f(x):
         return jax.lax.psum(x, axis_name="dp")
 
     x = jnp.arange(8.0).reshape(2, 2, 2)
-    out = shard_map(
-        f, mesh=mesh8, in_specs=P("dp"), out_specs=P()
-    )(x)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x[0] + x[1]))
+    out = jax.shard_map(f, mesh=mesh8, in_specs=P("dp"), out_specs=P())(x)
+    assert out.shape == (1, 2, 2)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0] + x[1]))
