@@ -1,0 +1,213 @@
+"""SVD image-to-video pipelines (plain, Motion-Adapter, CAMA-CT variants).
+
+TPU-native re-design of the reference's diffusers pipeline subclasses
+(reference ``svd/pipelines/pipeline.py``): instead of smuggling
+(image_emb, action_emb) through a TupleTensor into monkey-patched attention
+processors, the action embedding is an explicit UNet input. The entire
+denoise loop (CFG batch-2, per-frame guidance ramp, Euler steps) is one
+jitted function; VAE decode is chunked over frames
+(reference ``base_pipeline.py:115-140`` semantics).
+
+Output contract: [-1, 1] float video [b, f, c, h, w] — the module layer
+denormalizes to the uint8 host contract (reference ``base_module.py:150``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionrag_tpu.models.fusion import condition_fusion
+from motionrag_tpu.models.svd.sampler import euler_sample_loop, karras_sigmas
+from motionrag_tpu.utils.pipeline import resize_with_antialiasing
+
+__all__ = ["SVDPipeline", "SVDActionPipeline", "SVDCTPipeline", "get_add_time_ids"]
+
+
+def get_add_time_ids(fps, motion_bucket_id, noise_aug_strength, batch: int) -> jnp.ndarray:
+    ids = jnp.stack(
+        [
+            jnp.full((batch,), fps, jnp.float32),
+            jnp.full((batch,), motion_bucket_id, jnp.float32),
+            jnp.broadcast_to(jnp.asarray(noise_aug_strength, jnp.float32), (batch,)),
+        ],
+        axis=1,
+    )
+    return ids
+
+
+class SVDPipeline:
+    """Baseline SVD I2V sampling. Holds module definitions; parameters are
+    passed per call (pure-functional, trainer-owned)."""
+
+    def __init__(self, unet, vae, image_encoder, dtype=jnp.bfloat16):
+        self.unet = unet
+        self.vae = vae
+        self.image_encoder = image_encoder
+        self.dtype = dtype
+
+    # -- conditioning ------------------------------------------------------
+
+    def encode_image_clip(self, params, image: jnp.ndarray) -> jnp.ndarray:
+        """[-1,1] [b, c, h, w] -> [b, 1, 1024] CLIP image embedding
+        (reference ``svd/module.py:74-80``)."""
+        return self.image_encoder.apply(params["image_encoder"], image)
+
+    def encode_image_vae(self, params, image, rng, noise_aug_strength) -> jnp.ndarray:
+        """Noise-augmented condition latent, unscaled
+        (reference ``svd/module.py:280-296``)."""
+        noise = jax.random.normal(rng, image.shape, jnp.float32)
+        cond = image + noise * noise_aug_strength
+        nhwc = cond.transpose(0, 2, 3, 1).astype(self.dtype)
+        latent = self.vae.apply(params["vae"], nhwc, method="encode")
+        return latent / self.vae.scaling_factor
+
+    def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None, image=None):
+        return None  # baseline: no action conditioning
+
+    # -- sampling ----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps", "num_frames"))
+    def _sample(
+        self,
+        params,
+        noise,
+        image_latents,
+        image_emb,
+        added_time_ids,
+        action_emb,
+        guidance_scale,
+        num_steps: int,
+        num_frames: int,
+    ):
+        sigmas = jnp.asarray(karras_sigmas(num_steps))
+        latents = noise * jnp.sqrt(sigmas[0] ** 2 + 1.0).astype(noise.dtype)
+
+        # CFG batch-2: uncond first (zeros image emb + zeros cond latents)
+        uncond_emb = jnp.zeros_like(image_emb)
+        emb2 = jnp.concatenate([uncond_emb, image_emb], axis=0)
+        img_lat2 = jnp.concatenate([jnp.zeros_like(image_latents), image_latents], axis=0)
+        ids2 = jnp.concatenate([added_time_ids, added_time_ids], axis=0)
+
+        def denoise_fn(x_scaled, c_noise, sigma):
+            b = x_scaled.shape[0]
+            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
+            cond2 = jnp.broadcast_to(
+                img_lat2[:, None], (2 * b, num_frames) + img_lat2.shape[1:]
+            )
+            unet_in = jnp.concatenate([x2, cond2.astype(x2.dtype)], axis=-1)
+            pred = self.unet.apply(
+                params["unet"], unet_in, c_noise, emb2, ids2, action_emb=action_emb
+            )
+            return pred[:b], pred[b:]
+
+        denoised = euler_sample_loop(denoise_fn, latents, sigmas, guidance_scale)
+        return denoised
+
+    def _decode(self, params, latents, decode_chunk_size: int):
+        b, f, h, w, c = latents.shape
+        flat = latents.reshape(b * f, h, w, c)
+        chunks = []
+        for start in range(0, b * f, decode_chunk_size):
+            chunk = flat[start : start + decode_chunk_size]
+            frames = self.vae.apply(
+                params["vae"], chunk.astype(self.dtype), chunk.shape[0], method="decode"
+            )
+            chunks.append(frames)
+        frames = jnp.concatenate(chunks, axis=0)
+        fh, fw = frames.shape[1], frames.shape[2]
+        return frames.reshape(b, f, fh, fw, 3).transpose(0, 1, 4, 2, 3)
+
+    def __call__(
+        self,
+        params,
+        image: jnp.ndarray,
+        rng: jax.Array,
+        ref_videos: Optional[jnp.ndarray] = None,
+        metadata: Optional[list] = None,
+        num_frames: int = 25,
+        height: int = 576,
+        width: int = 1024,
+        num_inference_steps: int = 25,
+        min_guidance_scale: float = 1.0,
+        max_guidance_scale: float = 3.0,
+        fps: int = 7,
+        motion_bucket_id: int = 127,
+        noise_aug_strength: float = 0.02,
+        decode_chunk_size: int = 8,
+        **unused: Any,
+    ) -> jnp.ndarray:
+        """image: [-1,1] [b, c, h, w] -> video [-1,1] [b, f, c, h, w]."""
+        b = image.shape[0]
+        if image.shape[-2:] != (height, width):
+            image = resize_with_antialiasing(image, (height, width))
+        rng_noise, rng_aug, rng_action = jax.random.split(rng, 3)
+
+        image_emb = self.encode_image_clip(params, image)
+        image_latents = self.encode_image_vae(params, image, rng_aug, noise_aug_strength)
+        added_time_ids = get_add_time_ids(fps - 1, motion_bucket_id, noise_aug_strength, b)
+        action_emb = self.prepare_action_embeddings(
+            params, ref_videos, metadata, rng_action, image=image
+        )
+
+        noise = jax.random.normal(
+            rng_noise, (b, num_frames, height // 8, width // 8, 4), jnp.float32
+        ).astype(self.dtype)
+        guidance = jnp.linspace(min_guidance_scale, max_guidance_scale, num_frames)
+
+        latents = self._sample(
+            params, noise, image_latents, image_emb, added_time_ids,
+            action_emb, guidance, num_inference_steps, num_frames,
+        )
+        return self._decode(params, latents, decode_chunk_size)
+
+
+class SVDActionPipeline(SVDPipeline):
+    """Motion-Adapter variant: fused VideoMAE features of the retrieved
+    videos, projected, with an uncond zeros-video branch for CFG
+    (reference ``svd/pipelines/pipeline.py:60-119``)."""
+
+    def __init__(self, unet, vae, image_encoder, action_embedder, action_proj_model,
+                 ref_fusion_type: str = "mean", dtype=jnp.bfloat16):
+        super().__init__(unet, vae, image_encoder, dtype)
+        self.action_embedder = action_embedder
+        self.action_proj_model = action_proj_model
+        self.ref_fusion_type = ref_fusion_type
+
+    def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None, image=None):
+        b, k = ref_videos.shape[:2]
+        flat = ref_videos.reshape((b * k,) + ref_videos.shape[2:])
+        emb = self.action_embedder.apply(params["action_embedder"], flat)
+        emb = emb.reshape(b, k, emb.shape[-2], emb.shape[-1])
+        weight = [m.get("ref_video_distance") for m in metadata] if metadata else None
+        emb = condition_fusion(emb, self.ref_fusion_type, weight=weight)
+        uncond = self.action_embedder.apply(
+            params["action_embedder"], jnp.zeros_like(ref_videos[:, 0])
+        )
+        both = jnp.concatenate([uncond, emb], axis=0)
+        return self.action_proj_model.apply(params["action_proj_model"], both)
+
+
+class SVDCTPipeline(SVDPipeline):
+    """CAMA variant: the Motion Context Transformer adapts the retrieved
+    motions in-context; uncond branch from a zeros video
+    (reference ``svd/pipelines/pipeline.py:122-160``)."""
+
+    def __init__(self, unet, vae, image_encoder, condition_transformer, dtype=jnp.bfloat16):
+        super().__init__(unet, vae, image_encoder, dtype)
+        self.condition_transformer = condition_transformer
+
+    def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None, image=None):
+        batch = {"ref_videos": ref_videos, "video": ref_videos[:, 0]}
+        if image is not None:
+            # pseudo target video: repeat the conditioning image
+            f = ref_videos.shape[2]
+            batch["video"] = jnp.repeat(image[:, None], f, axis=1)
+        return self.condition_transformer.apply(
+            params["condition_transformer"], batch,
+            do_classifier_free_guidance=True, method="predict",
+        )
