@@ -53,8 +53,8 @@ class MeshConfig:
                 )
             sizes[wildcards[0]] = n_devices // fixed
         total = int(np.prod(list(sizes.values())))
-        if total != n_devices:
-            raise ValueError(f"mesh {sizes} does not cover {n_devices} devices")
+        if total > n_devices:
+            raise ValueError(f"mesh {sizes} needs {total} devices, have {n_devices}")
         return sizes
 
 
@@ -69,7 +69,8 @@ def build_mesh(
     devices = list(devices if devices is not None else jax.devices())
     config = config or MeshConfig()
     sizes = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape([sizes[a] for a in AXIS_ORDER])
+    total = int(np.prod([sizes[a] for a in AXIS_ORDER]))
+    dev_array = np.asarray(devices[:total]).reshape([sizes[a] for a in AXIS_ORDER])
     return Mesh(dev_array, AXIS_ORDER)
 
 

@@ -1,0 +1,276 @@
+"""JAX trainer loop — the TPU-native replacement for Lightning's Trainer.
+
+fit/test semantics mirror the reference CLI (``main.py {fit,test}``):
+  - fit: jitted train step (donated state) over a data-parallel mesh;
+    gradient all-reduce is inserted by XLA from the shardings (params
+    replicated, batch sharded over dp) — the analogue of DDP/NCCL
+    (SURVEY.md §2.9);
+  - frozen parameters are stop_gradient'ed inside the loss (XLA DCEs their
+    grad computation) and masked out of the optimizer (optim.py);
+  - periodic validation runs the module's eval_pipeline and hands generated
+    uint8 videos to metric callbacks (reference ``base_module.py:129-183``);
+  - checkpoints are incremental (trainable-only) by default.
+
+State lives in a single donated pytree, so steps run at full speed with no
+host round-trips except logging every ``log_every_n_steps``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from motionrag_tpu.parallel.mesh import MeshConfig, build_mesh
+from motionrag_tpu.training import checkpoints as ckpt_lib
+from motionrag_tpu.training.ema import ema_init, ema_update
+from motionrag_tpu.training.optim import build_optimizer
+from motionrag_tpu.utils.pipeline import assert_video_output, tensor2vid
+
+__all__ = ["Trainer", "TrainState", "JSONLLogger"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    rng: jax.Array
+
+
+class JSONLLogger:
+    """Minimal structured logger (the reference logs scalars to wandb;
+    SURVEY.md §5.5). One JSON object per log call, plus stdout echo."""
+
+    def __init__(self, log_dir: str | Path):
+        self.path = Path(log_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, metrics: dict, step: int) -> None:
+        record = {"step": int(step), **{k: float(v) for k, v in metrics.items()}}
+        with self.path.open("a") as f:
+            f.write(json.dumps(record) + "\n")
+        printable = ", ".join(f"{k}={v:.5g}" for k, v in record.items() if k != "step")
+        print(f"[step {step}] {printable}", flush=True)
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_steps: int = 1000,
+        mesh_config: MeshConfig | None = None,
+        optimizer_config: dict | None = None,
+        val_check_interval: int = 2000,
+        log_every_n_steps: int = 10,
+        checkpoint_every_n_steps: int = 2000,
+        default_root_dir: str = "runs/default",
+        incremental_checkpoint: bool = True,
+        use_ema: bool = False,
+        seed: int = 42,
+        callbacks: Iterable[Any] = (),
+        limit_val_batches: Optional[int] = None,
+        limit_test_batches: Optional[int] = None,
+        num_sanity_val_steps: int = 0,
+    ):
+        self.max_steps = max_steps
+        self.mesh_config = mesh_config or MeshConfig()
+        self.optimizer_config = optimizer_config or {}
+        self.val_check_interval = val_check_interval
+        self.log_every_n_steps = log_every_n_steps
+        self.checkpoint_every_n_steps = checkpoint_every_n_steps
+        self.root_dir = Path(default_root_dir)
+        self.incremental_checkpoint = incremental_checkpoint
+        self.use_ema = use_ema
+        self.seed = seed
+        self.callbacks = list(callbacks)
+        self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
+        self.num_sanity_val_steps = num_sanity_val_steps
+        self.logger = JSONLLogger(self.root_dir)
+        self.mesh = None
+
+    # -- setup -------------------------------------------------------------
+
+    def _shard_batch(self, batch: dict) -> dict:
+        spec = P(("dp", "fsdp"))
+
+        def put(x):
+            if not isinstance(x, (np.ndarray, jnp.ndarray)):
+                return x
+            return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, spec))
+
+        return {k: put(v) for k, v in batch.items()}
+
+    def _replicate(self, tree):
+        return jax.device_put(tree, NamedSharding(self.mesh, P()))
+
+    def setup(self, module, batch_template: dict, ckpt_path: str | None = None):
+        self.mesh = build_mesh(self.mesh_config)
+        rng = jax.random.key(self.seed)
+        rng, init_rng = jax.random.split(rng)
+        params = module.init_params(init_rng, batch_template)
+        if ckpt_path:
+            params = ckpt_lib.restore_into(ckpt_path, params)
+        self.tx, self.mask = build_optimizer(
+            params, module.trainable_patterns, **self.optimizer_config
+        )
+        opt_state = self.tx.init(params)
+        ema = ema_init(params) if self.use_ema else None
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema,
+            rng=rng,
+        )
+        state = self._replicate(state)
+        n_train = sum(
+            leaf.size for leaf, m in zip(
+                jax.tree.leaves(params),
+                jax.tree.leaves(self.mask),
+            ) if m
+        )
+        n_total = sum(leaf.size for leaf in jax.tree.leaves(params))
+        print(f"params: {n_total / 1e6:.1f}M total, {n_train / 1e6:.1f}M trainable", flush=True)
+        return state
+
+    def _make_train_step(self, module):
+        mask = self.mask
+        tx = self.tx
+        use_ema = self.use_ema
+
+        def train_step(state: TrainState, batch: dict):
+            rng, step_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                p = jax.tree.map(
+                    lambda x, m: x if m else jax.lax.stop_gradient(x), params, mask
+                )
+                return module.loss(p, batch, step_rng)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            gnorm = jnp.sqrt(
+                sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
+            )
+            metrics = dict(metrics, grad_norm=gnorm)
+            ema = state.ema_params
+            if use_ema:
+                ema = ema_update(ema, params, state.step)
+            new_state = TrainState(
+                step=state.step + 1, params=params, opt_state=opt_state,
+                ema_params=ema, rng=rng,
+            )
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # -- loops -------------------------------------------------------------
+
+    def fit(self, module, datamodule, ckpt_path: str | None = None):
+        datamodule.prepare_data()
+        datamodule.setup("fit")
+        train_iter = iter(datamodule.train_dataloader())
+        first_batch = next(train_iter)
+        state = self.setup(module, first_batch, ckpt_path)
+        train_step = self._make_train_step(module)
+
+        if self.num_sanity_val_steps:
+            self.validate(module, state, datamodule, limit=self.num_sanity_val_steps)
+
+        for cb in self.callbacks:
+            if hasattr(cb, "on_fit_start"):
+                cb.on_fit_start(self, module)
+
+        batch = first_batch
+        t0 = time.time()
+        while int(jax.device_get(state.step)) < self.max_steps:
+            sharded = self._shard_batch(batch)
+            state, metrics = train_step(state, sharded)
+            step = int(jax.device_get(state.step))
+
+            if step % self.log_every_n_steps == 0:
+                host_metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                host_metrics["steps_per_sec"] = self.log_every_n_steps / max(
+                    time.time() - t0, 1e-9
+                )
+                t0 = time.time()
+                self.logger.log(host_metrics, step)
+                for cb in self.callbacks:
+                    if hasattr(cb, "on_train_batch_end"):
+                        cb.on_train_batch_end(self, module, host_metrics, step)
+
+            if self.checkpoint_every_n_steps and step % self.checkpoint_every_n_steps == 0:
+                self.save_checkpoint(state, step)
+
+            if self.val_check_interval and step % self.val_check_interval == 0:
+                self.validate(module, state, datamodule, limit=self.limit_val_batches)
+
+            try:
+                batch = next(train_iter)
+            except StopIteration:
+                train_iter = iter(datamodule.train_dataloader())
+                batch = next(train_iter)
+
+        self.save_checkpoint(state, int(jax.device_get(state.step)))
+        return state
+
+    def validate(self, module, state, datamodule, limit: Optional[int] = None):
+        return self._eval_loop(module, state, datamodule, "val", limit)
+
+    def test(self, module, datamodule, ckpt_path: str | None = None):
+        datamodule.prepare_data()
+        datamodule.setup("test")
+        loader = datamodule.test_dataloader()
+        first = next(iter(loader))
+        state = self.setup(module, first, ckpt_path)
+        return self._eval_loop(module, state, datamodule, "test", self.limit_test_batches)
+
+    def _eval_loop(self, module, state, datamodule, stage: str, limit=None):
+        loader = (
+            datamodule.val_dataloader() if stage == "val" else datamodule.test_dataloader()
+        )
+        generated, ground_truth, prompts = [], [], []
+        rng = jax.random.key(self.seed + 1)
+        for i, batch in enumerate(loader):
+            if limit is not None and i >= limit:
+                break
+            rng, step_rng = jax.random.split(rng)
+            frames = module.eval_pipeline(state.params, batch, step_rng)
+            videos = tensor2vid(frames)  # uint8 [b f c h w] host
+            assert_video_output(videos)
+            generated.append(videos)
+            gt = np.asarray(batch["video"])
+            ground_truth.append(((np.clip(gt, -1, 1) + 1) * 127.5).round().astype(np.uint8))
+            prompts.extend(
+                m.get("raw_prompt", "") for m in batch.get("metadata", [{}] * videos.shape[0])
+            )
+        results = {}
+        for cb in self.callbacks:
+            if hasattr(cb, "on_eval_epoch_end"):
+                out = cb.on_eval_epoch_end(self, stage, generated, ground_truth, prompts)
+                if out:
+                    results.update(out)
+        if results:
+            self.logger.log(results, int(jax.device_get(state.step)))
+        return results
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_checkpoint(self, state: TrainState, step: int):
+        path = self.root_dir / "checkpoints" / f"step_{step:08d}"
+        params = jax.device_get(state.params)
+        if self.incremental_checkpoint:
+            ckpt_lib.save_incremental(path, params, self.mask)
+        else:
+            ckpt_lib.save_checkpoint(path, params)
+        print(f"saved checkpoint: {path}", flush=True)

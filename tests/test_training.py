@@ -1,0 +1,165 @@
+"""Training layer tests: trainable-mask semantics (reference pattern strings
+against the flax tree), masked optimizer, LoRA transform, EMA, incremental
+checkpoints, and a 2-step fit on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from motionrag_tpu.training.checkpoints import restore_into, save_incremental
+from motionrag_tpu.training.ema import ema_init, ema_update
+from motionrag_tpu.training.lora import init_lora, merge_lora
+from motionrag_tpu.training.optim import (
+    build_optimizer,
+    path_tokens,
+    pattern_matches,
+    trainable_mask,
+)
+
+
+def fake_params():
+    z = lambda *s: jnp.zeros(s)
+    return {
+        "unet": {"params": {
+            "down_blocks_0_attentions_0": {"transformer_blocks_0": {"attn2": {
+                "to_q": {"kernel": z(8, 8)},
+                "to_q_ip": {"kernel": z(8, 8)},
+                "to_k_ip": {"kernel": z(8, 8)},
+            }}},
+            "conv_in": {"kernel": z(3, 3, 8, 8)},
+        }},
+        "action_proj_model": {"params": {"proj_in": {"kernel": z(8, 8), "bias": z(8)}}},
+        "vae": {"params": {"encoder": {"conv_in": {"kernel": z(3, 3, 3, 8)}}}},
+    }
+
+
+ADAPTER_PATTERN = "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn2.processor"
+
+
+def test_pattern_matching_adapter_processor():
+    params = fake_params()
+    mask = trainable_mask(params, [ADAPTER_PATTERN, "action_proj_model"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    selected = {"/".join(path_tokens(p)) for p, m in flat if m}
+    assert "action_proj_model/proj_in/kernel" in selected
+    assert "action_proj_model/proj_in/bias" in selected
+    # processor pattern selects ONLY the adapter branch weights
+    assert any("to_q_ip" in s for s in selected)
+    assert any("to_k_ip" in s for s in selected)
+    assert not any(s.endswith("attn2/to_q/kernel") for s in selected)
+    assert not any("conv_in" in s for s in selected)
+
+
+def test_path_tokens_canonicalization():
+    class K:
+        def __init__(self, key):
+            self.key = key
+
+    toks = path_tokens([K("unet"), K("params"), K("down_blocks_0_attentions_1"), K("to_q_ip"), K("kernel")])
+    assert toks == ["unet", "down_blocks", "0", "attentions", "1", "to_q_ip", "kernel"]
+    assert pattern_matches(toks, "unet.down_blocks.0")
+    assert pattern_matches(toks, "unet.down_blocks.0.attentions.1.processor")
+    assert not pattern_matches(toks, "unet.down_blocks.1")
+
+
+def test_masked_optimizer_freezes_params():
+    params = fake_params()
+    params = jax.tree.map(lambda x: x + 1.0, params)
+    tx, mask = build_optimizer(params, ["action_proj_model"], learning_rate=0.1)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    # frozen unet unchanged; trainable action_proj changed
+    np.testing.assert_array_equal(
+        np.asarray(new["unet"]["params"]["conv_in"]["kernel"]),
+        np.asarray(params["unet"]["params"]["conv_in"]["kernel"]),
+    )
+    assert not np.allclose(
+        np.asarray(new["action_proj_model"]["params"]["proj_in"]["kernel"]),
+        np.asarray(params["action_proj_model"]["params"]["proj_in"]["kernel"]),
+    )
+
+
+def test_lora_init_and_merge():
+    params = fake_params()
+    lora = init_lora(jax.random.key(0), params, ["unet.down_blocks.0"], rank=4)
+    leaves = [x for x in jax.tree.leaves(lora)]
+    assert leaves, "lora tree should have leaves for matched kernels"
+    merged = merge_lora(params, lora)
+    # B init is zeros -> merge is identity at init
+    np.testing.assert_array_equal(
+        np.asarray(merged["unet"]["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn2"]["to_q"]["kernel"]),
+        np.asarray(params["unet"]["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn2"]["to_q"]["kernel"]),
+    )
+
+
+def test_ema_update_moves_toward_params():
+    p0 = {"w": jnp.zeros((3,))}
+    ema = ema_init(p0)
+    p1 = {"w": jnp.ones((3,))}
+    ema = ema_update(ema, p1, jnp.asarray(0))
+    # decay at step 0 = min(0.9999, 1/10) = 0.1 -> ema = 0.9 * p1
+    np.testing.assert_allclose(np.asarray(ema["w"]), 0.9, rtol=1e-6)
+
+
+def test_incremental_checkpoint_roundtrip(tmp_path):
+    params = jax.tree.map(lambda x: x + 2.0, fake_params())
+    mask = trainable_mask(params, ["action_proj_model"])
+    save_incremental(tmp_path / "ckpt", params, mask)
+
+    fresh = fake_params()
+    merged = restore_into(tmp_path / "ckpt", fresh)
+    np.testing.assert_allclose(
+        np.asarray(merged["action_proj_model"]["params"]["proj_in"]["kernel"]), 2.0
+    )
+    np.testing.assert_allclose(np.asarray(merged["unet"]["params"]["conv_in"]["kernel"]), 0.0)
+
+
+class ToyDataModule:
+    """Minimal datamodule protocol used by the Trainer."""
+
+    def __init__(self, b=2):
+        rng = np.random.default_rng(0)
+        self.batch = {
+            "video": rng.uniform(-1, 1, (b, 4, 3, 64, 64)).astype(np.float32),
+        }
+
+    def prepare_data(self):
+        pass
+
+    def setup(self, stage):
+        pass
+
+    def train_dataloader(self):
+        return [self.batch] * 4
+
+    def val_dataloader(self):
+        return [self.batch]
+
+    def test_dataloader(self):
+        return [self.batch]
+
+
+@pytest.mark.slow
+def test_trainer_fit_two_steps(tmp_path):
+    from motionrag_tpu.parallel.mesh import MeshConfig
+    from motionrag_tpu.training.trainer import Trainer
+    from tests.test_svd import tiny_module
+
+    module = tiny_module()
+    module.full_trainable_modules = ("unet.conv_out",)
+    trainer = Trainer(
+        max_steps=2,
+        mesh_config=MeshConfig(dp=2, tp=1, sp=1),
+        optimizer_config={"learning_rate": 1e-3},
+        val_check_interval=0,
+        log_every_n_steps=1,
+        checkpoint_every_n_steps=0,
+        default_root_dir=str(tmp_path),
+    )
+    state = trainer.fit(module, ToyDataModule())
+    assert int(jax.device_get(state.step)) == 2
+    assert (tmp_path / "metrics.jsonl").exists()
