@@ -1,0 +1,244 @@
+"""CogVideoX DiT (joint text+video transformer) — the flagship denoiser.
+
+TPU-native re-design of the 5B CogVideoX-I2V transformer the reference loads
+via diffusers (reference ``cogvideox/module.py:22-49``): 42 blocks, 48 heads
+x 64, joint self-attention over [text tokens ++ video patch tokens] with QK
+LayerNorm and 3D RoPE applied to the video part only, adaLN-Zero modulation
+with *separate* (shift, scale, gate) for the text and video streams, and a
+gelu-tanh MLP.
+
+Motion-Adapter branch (reference ``attn_processor.py:144-283``): on selected
+blocks, an extra attention with q = to_q_ip(post-attention hidden states over
+the full joint sequence), kv from the adapted motion tokens, CFG-batch
+broadcast, added with a scale before the output projection. The action
+embedding is an explicit argument — no smuggling through the RoPE tuple.
+
+Sharding: ``partition_rules()`` returns PartitionSpecs for tensor parallelism
+over heads/MLP (tp axis) — the scale path the reference never had
+(SURVEY.md §2.9: mesh is a first-class config axis here).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from motionrag_tpu.models.diffusion_blocks import TimestepEmbedding, Timesteps
+from motionrag_tpu.ops.attention import dot_product_attention
+from motionrag_tpu.ops.norms import layer_norm
+from motionrag_tpu.ops.posemb import rope_3d_cache
+
+__all__ = ["CogVideoXTransformer3D", "cogvideox_5b_config"]
+
+
+def cogvideox_5b_config(**overrides):
+    cfg = dict(
+        in_channels=32,
+        out_channels=16,
+        dim=3072,
+        depth=42,
+        heads=48,
+        head_dim=64,
+        text_embed_dim=4096,
+        time_embed_dim=512,
+        patch_size=2,
+        ff_mult=4,
+        use_rotary_positional_embeddings=True,
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def _apply_rope_bhsd(x: jnp.ndarray, cache: jnp.ndarray) -> jnp.ndarray:
+    """RoPE on [b, h, s, d] with cache [s, d/2, 2]; interleaved pairs."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32).reshape(x.shape[:-1] + (-1, 2))
+    cos = cache[None, None, :, :, 0]
+    sin = cache[None, None, :, :, 1]
+    x0, x1 = xf[..., 0], xf[..., 1]
+    out = jnp.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], axis=-1)
+    return out.reshape(x.shape).astype(orig)
+
+
+class CogVideoXBlock(nn.Module):
+    dim: int
+    heads: int
+    head_dim: int
+    time_embed_dim: int
+    ff_mult: int = 4
+    with_adapter: bool = False
+    adapter_scale: float = 1.0
+    adapter_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, encoder_hidden, temb, rope_cache=None, action_emb=None):
+        b, sv, c = hidden.shape
+        st = encoder_hidden.shape[1]
+        inner = self.heads * self.head_dim
+
+        def ln_zero(name, n_chunks=6):
+            mod = nn.Dense(n_chunks * self.dim, dtype=self.dtype, name=f"{name}_linear")(
+                nn.silu(temb)
+            )
+            return jnp.split(mod[:, None, :], n_chunks, axis=-1)
+
+        # --- attention with adaLN-zero ------------------------------------
+        shift, scale, gate, e_shift, e_scale, e_gate = ln_zero("norm1")
+        h_n = layer_norm(hidden) * (1 + scale) + shift
+        e_n = layer_norm(encoder_hidden) * (1 + e_scale) + e_shift
+        joint = jnp.concatenate([e_n, h_n], axis=1)
+        s = st + sv
+
+        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(joint)
+        k = nn.Dense(inner, dtype=self.dtype, name="to_k")(joint)
+        v = nn.Dense(inner, dtype=self.dtype, name="to_v")(joint)
+        qh = q.reshape(b, s, self.heads, self.head_dim)
+        kh = k.reshape(b, s, self.heads, self.head_dim)
+        vh = v.reshape(b, s, self.heads, self.head_dim)
+        # QK LayerNorm over head_dim (CogVideoX norm_q / norm_k)
+        qh = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_q")(qh)
+        kh = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_k")(kh)
+        if rope_cache is not None:
+            qv = _apply_rope_bhsd(qh[:, st:].transpose(0, 2, 1, 3), rope_cache)
+            kv_ = _apply_rope_bhsd(kh[:, st:].transpose(0, 2, 1, 3), rope_cache)
+            qh = jnp.concatenate([qh[:, :st], qv.transpose(0, 2, 1, 3)], axis=1)
+            kh = jnp.concatenate([kh[:, :st], kv_.transpose(0, 2, 1, 3)], axis=1)
+        attn_out = dot_product_attention(qh, kh, vh).reshape(b, s, inner)
+
+        if self.with_adapter and action_emb is not None:
+            ip_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q_ip")(attn_out)
+            ip_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(action_emb)
+            ip_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(action_emb)
+            r = b // action_emb.shape[0]
+            if r > 1:
+                ip_k = jnp.repeat(ip_k, r, axis=0)
+                ip_v = jnp.repeat(ip_v, r, axis=0)
+            sa = ip_k.shape[1]
+            ip_out = dot_product_attention(
+                ip_q.reshape(b, s, self.heads, self.head_dim),
+                ip_k.reshape(b, sa, self.heads, self.head_dim),
+                ip_v.reshape(b, sa, self.heads, self.head_dim),
+            ).reshape(b, s, inner)
+            attn_out = attn_out + self.adapter_scale * ip_out
+
+        attn_out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(attn_out)
+        e_attn, h_attn = attn_out[:, :st], attn_out[:, st:]
+        hidden = hidden + gate * h_attn
+        encoder_hidden = encoder_hidden + e_gate * e_attn
+
+        # --- feed-forward with adaLN-zero ----------------------------------
+        shift, scale, gate, e_shift, e_scale, e_gate = ln_zero("norm2")
+        h_n = layer_norm(hidden) * (1 + scale) + shift
+        e_n = layer_norm(encoder_hidden) * (1 + e_scale) + e_shift
+        joint = jnp.concatenate([e_n, h_n], axis=1)
+        ff = nn.Dense(self.dim * self.ff_mult, dtype=self.dtype, name="ff_in")(joint)
+        ff = nn.gelu(ff, approximate=True)
+        ff = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(ff)
+        hidden = hidden + gate * ff[:, st:]
+        encoder_hidden = encoder_hidden + e_gate * ff[:, :st]
+        return hidden, encoder_hidden
+
+
+class CogVideoXTransformer3D(nn.Module):
+    """Inputs: video latents [b, f_lat, h_lat, w_lat, in_channels] (NHWC),
+    text embeddings [b, s_text, text_embed_dim], timestep [b]."""
+
+    in_channels: int = 32
+    out_channels: int = 16
+    dim: int = 3072
+    depth: int = 42
+    heads: int = 48
+    head_dim: int = 64
+    text_embed_dim: int = 4096
+    time_embed_dim: int = 512
+    patch_size: int = 2
+    ff_mult: int = 4
+    use_rotary_positional_embeddings: bool = True
+    adapter_sites: Sequence[str] = ()
+    adapter_scale: float = 1.0
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        timestep: jnp.ndarray,
+        action_emb: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        b, f, h, w, _ = hidden_states.shape
+        p = self.patch_size
+        ph, pw = h // p, w // p
+        sv = f * ph * pw
+
+        # patchify video: [b, f, h, w, c] -> [b, f*ph*pw, dim]
+        x = hidden_states.reshape(b, f, ph, p, pw, p, -1)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, sv, p * p * hidden_states.shape[-1])
+        x = nn.Dense(self.dim, dtype=self.dtype, name="patch_embed_proj")(x)
+        text = nn.Dense(self.dim, dtype=self.dtype, name="patch_embed_text_proj")(
+            encoder_hidden_states
+        )
+
+        t_emb = Timesteps(self.dim, flip_sin_to_cos=True)(
+            jnp.broadcast_to(jnp.asarray(timestep), (b,))
+        ).astype(self.dtype)
+        temb = TimestepEmbedding(self.time_embed_dim, dtype=self.dtype, name="time_embedding")(t_emb)
+
+        rope = None
+        if self.use_rotary_positional_embeddings:
+            rope = rope_3d_cache(self.head_dim, f, ph, pw)
+
+        adapter_set = {
+            int(site.split(".")[1]) for site in self.adapter_sites
+            if site.startswith("transformer_blocks.")
+        }
+
+        block_cls = CogVideoXBlock
+        if self.remat:
+            block_cls = nn.remat(CogVideoXBlock, static_argnums=())
+
+        hidden, enc = x, text
+        for i in range(self.depth):
+            hidden, enc = block_cls(
+                self.dim, self.heads, self.head_dim, self.time_embed_dim,
+                self.ff_mult,
+                with_adapter=i in adapter_set,
+                adapter_scale=self.adapter_scale,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(hidden, enc, temb, rope, action_emb)
+
+        joint = jnp.concatenate([enc, hidden], axis=1)
+        joint = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_final")(joint)
+        hidden = joint[:, enc.shape[1]:]
+
+        # AdaLayerNorm out: silu(temb) -> (shift, scale)
+        mod = nn.Dense(2 * self.dim, dtype=self.dtype, name="norm_out_linear")(nn.silu(temb))
+        shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+        hidden = layer_norm(hidden) * (1 + scale) + shift
+        out = nn.Dense(p * p * self.out_channels, dtype=self.dtype, name="proj_out")(hidden)
+
+        # unpatchify
+        out = out.reshape(b, f, ph, pw, p, p, self.out_channels)
+        out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, f, h, w, self.out_channels)
+        return out
+
+    @staticmethod
+    def partition_rules():
+        """PartitionSpec rules (regex on canonical dotted path -> spec) for
+        TP sharding of the 5B model over the ``tp`` mesh axis."""
+        from jax.sharding import PartitionSpec as P
+
+        return [
+            (r".*(to_q|to_k|to_v|to_q_ip|to_k_ip|to_v_ip)\.kernel", P(None, "tp")),
+            (r".*to_out\.kernel", P("tp", None)),
+            (r".*ff_in\.kernel", P(None, "tp")),
+            (r".*ff_out\.kernel", P("tp", None)),
+            (r".*patch_embed_proj\.kernel", P(None, "tp")),
+            (r".*", P()),
+        ]

@@ -1,0 +1,269 @@
+"""CogVideoX training/eval modules (baseline / Motion-Adapter / CAMA-CT).
+
+Training math follows the reference (``cogvideox/module.py:82-143``):
+v-prediction target via ``get_velocity``, random integer timesteps,
+noise-augmented first-frame image latent occupying only latent-frame 0,
+channel-concat conditioning, 1/(1-alpha_cumprod) loss weighting.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+from motionrag_tpu.models.cogvideox.pipeline import (
+    CogVideoXImageToVideoActionPipeline,
+    CogVideoXImageToVideoCTPipeline,
+    CogVideoXImageToVideoPipeline,
+)
+from motionrag_tpu.models.cogvideox.scheduler import CogVideoXSchedule
+from motionrag_tpu.models.cogvideox.vae3d import CogVideoXVAE
+from motionrag_tpu.models.encoders.t5 import T5Encoder
+from motionrag_tpu.models.fusion import condition_fusion
+
+__all__ = ["CogVideoX5B", "CogVideoX5BAction", "CogVideoX5BActionTransformer"]
+
+
+class CogVideoX5B:
+    def __init__(
+        self,
+        transformer: Optional[CogVideoXTransformer3D] = None,
+        vae: Optional[CogVideoXVAE] = None,
+        text_encoder: Optional[T5Encoder] = None,
+        eval_pipeline_call_kwargs: dict | None = None,
+        freeze_modules=("transformer", "vae", "text_encoder"),
+        full_trainable_modules=(),
+        lora_trainable_modules=(),
+        lora_rank: int = 64,
+        gradient_checkpointing: bool = False,
+        ckpt_path: str | None = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.transformer = transformer or CogVideoXTransformer3D(
+            remat=gradient_checkpointing, dtype=dtype
+        )
+        self.vae = vae or CogVideoXVAE(dtype=dtype)
+        self.text_encoder = text_encoder or T5Encoder(dtype=dtype)
+        self.eval_pipeline_call_kwargs = dict(eval_pipeline_call_kwargs or {})
+        self.scheduler_name = self.eval_pipeline_call_kwargs.pop("scheduler", "ddim")
+        self.freeze_modules = tuple(freeze_modules)
+        self.full_trainable_modules = tuple(full_trainable_modules)
+        self.lora_trainable_modules = tuple(lora_trainable_modules)
+        self.lora_rank = lora_rank
+        self.ckpt_path = ckpt_path
+        self.dtype = dtype
+        self.schedule = CogVideoXSchedule()
+        self.pipe = self.build_pipeline()
+
+    def build_pipeline(self):
+        return CogVideoXImageToVideoPipeline(
+            self.transformer, self.vae, self.text_encoder, self.scheduler_name, self.dtype
+        )
+
+    # -- init --------------------------------------------------------------
+
+    def template_action_emb(self, b):
+        return None
+
+    def extra_param_inits(self, rng, batch) -> dict:
+        return {}
+
+    def init_params(self, rng, batch: dict) -> dict:
+        video = jnp.asarray(batch["video"], jnp.float32)
+        b, f, c, h, w = video.shape
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        vid_nhwc = video.transpose(0, 1, 3, 4, 2).astype(self.dtype)
+        vae_params = self.vae.init(r1, vid_nhwc)
+        ids = jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 16), jnp.int32)))
+        t5_params = self.text_encoder.init(r2, ids)
+        f_lat = (f - 1) // 4 + 1
+        sample = jnp.zeros(
+            (b, f_lat, h // 8, w // 8, self.transformer.in_channels), self.dtype
+        )
+        text = jnp.zeros((b, ids.shape[1], self.transformer.text_embed_dim), self.dtype)
+        dit_params = self.transformer.init(
+            r3, sample, text, jnp.zeros((b,), jnp.int32),
+            action_emb=self.template_action_emb(b),
+        )
+        params = {"transformer": dit_params, "vae": vae_params, "text_encoder": t5_params}
+        params.update(self.extra_param_inits(r4, batch))
+        return params
+
+    # -- training ----------------------------------------------------------
+
+    def action_embedding_for_training(self, params, batch, rng):
+        return None
+
+    def loss(self, params, batch: dict, rng: jax.Array):
+        video = jnp.asarray(batch["video"])
+        b, f, c, h, w = video.shape
+        rngs = jax.random.split(rng, 6)
+
+        prompt_embeds = self.text_encoder.apply(
+            params["text_encoder"], jnp.asarray(batch["prompt_ids"])
+        )
+
+        t = jax.random.randint(rngs[0], (b,), 0, self.schedule.num_train_timesteps)
+
+        vid_nhwc = video.transpose(0, 1, 3, 4, 2).astype(self.dtype)
+        latents = self.vae.apply(params["vae"], vid_nhwc, rngs[1], method="encode")
+        latents = latents.astype(jnp.float32)
+
+        noise = jax.random.normal(rngs[2], latents.shape, jnp.float32)
+        noisy_latents = self.schedule.add_noise(latents, noise, t)
+
+        # noise-augmented first-frame latent occupies latent-frame 0 only
+        image = vid_nhwc[:, :1]
+        sigma = jnp.exp(-3.0 + 0.5 * jax.random.normal(rngs[3], (1,), jnp.float32))
+        noisy_image = image + jax.random.normal(rngs[4], image.shape) * sigma
+        img_lat = self.vae.apply(
+            params["vae"], noisy_image.astype(self.dtype), rngs[5], method="encode"
+        ).astype(jnp.float32)
+        image_latents = jnp.concatenate(
+            [img_lat[:, :1], jnp.zeros_like(noisy_latents[:, 1:])], axis=1
+        )
+
+        model_in = jnp.concatenate(
+            [noisy_latents.astype(self.dtype), image_latents.astype(self.dtype)], axis=-1
+        )
+        action_emb = self.action_embedding_for_training(params, batch, rngs[0])
+        v_pred = self.transformer.apply(
+            params["transformer"], model_in, prompt_embeds.astype(self.dtype), t,
+            action_emb=action_emb,
+        ).astype(jnp.float32)
+
+        latent_pred = self.schedule.get_velocity(v_pred, noisy_latents, t)
+        a = self.schedule.alphas_cumprod[t].reshape(b, 1, 1, 1, 1)
+        weights = 1.0 / (1.0 - a)
+        loss = jnp.mean(weights * jnp.square(latent_pred - latents))
+        return loss, {"train/main_loss": loss}
+
+    # -- evaluation --------------------------------------------------------
+
+    def eval_pipeline(self, params, batch: dict, rng: jax.Array, **kwargs) -> jnp.ndarray:
+        call_kwargs = dict(self.eval_pipeline_call_kwargs)
+        call_kwargs.update(kwargs)
+        sample_method = call_kwargs.pop("sample_method", "first")
+        image = jnp.asarray(batch["video"])[:, 0]
+        frames = self.pipe(
+            params, image, rng,
+            prompt_ids=batch.get("prompt_ids"),
+            negative_prompt_ids=batch.get("negative_prompt_ids"),
+            ref_videos=batch.get("ref_videos"),
+            metadata=batch.get("metadata"),
+            **call_kwargs,
+        )
+        if sample_method == "first":
+            frames = frames[:, :16]
+        elif sample_method == "uniform":
+            import numpy as np
+
+            idx = np.linspace(0, frames.shape[1] - 1, 16).round().astype(int)
+            frames = frames[:, idx]
+        return frames
+
+    @property
+    def trainable_patterns(self):
+        return tuple(self.full_trainable_modules)
+
+
+class CogVideoX5BAction(CogVideoX5B):
+    def __init__(
+        self,
+        *args,
+        adapter_modules=(),
+        action_proj_model=None,
+        action_embedder=None,
+        ref_fusion_type: str = "mean",
+        drop_prob: float = 0.0,
+        adapter_path: str | None = None,
+        **kwargs,
+    ):
+        self.adapter_modules = tuple(adapter_modules)
+        self.action_proj_model = action_proj_model
+        self.action_embedder = action_embedder
+        self.ref_fusion_type = ref_fusion_type
+        self.drop_prob = drop_prob
+        self.adapter_path = adapter_path
+        if kwargs.get("transformer") is None:
+            kwargs["transformer"] = CogVideoXTransformer3D(
+                adapter_sites=self.adapter_modules,
+                remat=kwargs.pop("gradient_checkpointing", False),
+                dtype=kwargs.get("dtype", jnp.bfloat16),
+            )
+        super().__init__(*args, **kwargs)
+
+    def build_pipeline(self):
+        return CogVideoXImageToVideoActionPipeline(
+            self.transformer, self.vae, self.text_encoder,
+            self.action_embedder, self.action_proj_model, self.ref_fusion_type,
+            self.scheduler_name, self.dtype,
+        )
+
+    def template_action_emb(self, b):
+        d = self.action_proj_model.cross_attention_dim
+        n = getattr(self.action_proj_model, "num_queries", None) or getattr(
+            self.action_proj_model, "context_tokens", 4
+        )
+        return jnp.zeros((b, n, d), self.dtype)
+
+    def extra_param_inits(self, rng, batch) -> dict:
+        r1, r2 = jax.random.split(rng)
+        ref = jnp.asarray(batch["ref_videos"])
+        flat = ref.reshape((-1,) + ref.shape[2:])
+        emb_params = self.action_embedder.init(r1, flat)
+        tokens = self.action_embedder.apply(emb_params, flat[:1])
+        proj_params = self.action_proj_model.init(r2, tokens)
+        return {"action_embedder": emb_params, "action_proj_model": proj_params}
+
+    def action_embedding_for_training(self, params, batch, rng):
+        ref = jnp.asarray(batch["ref_videos"])
+        b, k = ref.shape[:2]
+        flat = ref.reshape((b * k,) + ref.shape[2:])
+        emb = self.action_embedder.apply(params["action_embedder"], flat)
+        emb = emb.reshape(b, k, emb.shape[-2], emb.shape[-1])
+        emb = condition_fusion(emb, self.ref_fusion_type, weight=batch.get("ref_video_distance"))
+        action = self.action_proj_model.apply(params["action_proj_model"], emb)
+        if self.drop_prob > 0.0:
+            keep = jax.random.bernoulli(rng, 1.0 - self.drop_prob, action.shape[:2])
+            action = action * keep[..., None] / (1.0 - self.drop_prob)
+        return action
+
+
+class CogVideoX5BActionTransformer(CogVideoX5BAction):
+    def __init__(self, *args, condition_transformer=None, **kwargs):
+        self.condition_transformer = condition_transformer
+        kwargs.setdefault("action_proj_model", None)
+        kwargs.setdefault("action_embedder", None)
+        super().__init__(*args, **kwargs)
+
+    def build_pipeline(self):
+        return CogVideoXImageToVideoCTPipeline(
+            self.transformer, self.vae, self.text_encoder, self.condition_transformer,
+            self.scheduler_name, self.dtype,
+        )
+
+    def template_action_emb(self, b):
+        proj = self.condition_transformer.vision_proj
+        return jnp.zeros((b, proj.num_queries, proj.output_dim), self.dtype)
+
+    def extra_param_inits(self, rng, batch) -> dict:
+        ref = jnp.asarray(batch["ref_videos"])
+        videos = jnp.concatenate([ref, batch["video"][:, None]], axis=1)
+        ct_params = self.condition_transformer.init(rng, videos, videos[:, :, 0])
+        return {"condition_transformer": ct_params}
+
+    def action_embedding_for_training(self, params, batch, rng):
+        # CFG-style doubled embedding during training too (reference
+        # ``cogvideox/module.py:267-270``); the adapter broadcast handles it.
+        action = self.pipe.prepare_action_embeddings(
+            params, jnp.asarray(batch["ref_videos"]), batch.get("metadata"),
+            do_classifier_free_guidance=False, image=jnp.asarray(batch["video"])[:, 0],
+        )
+        if self.drop_prob > 0.0:
+            keep = jax.random.bernoulli(rng, 1.0 - self.drop_prob, action.shape[:2])
+            action = action * keep[..., None] / (1.0 - self.drop_prob)
+        return action

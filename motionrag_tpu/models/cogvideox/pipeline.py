@@ -1,0 +1,201 @@
+"""CogVideoX image-to-video pipelines (baseline / Motion-Adapter / CAMA-CT).
+
+Re-design of the reference's diffusers pipeline subclasses
+(``src/projects/cogvideox/pipeline.py``). The reference smuggles the action
+embedding through the ``image_rotary_emb`` tuple into monkey-patched
+processors (``pipeline.py:46-57``); here it is an explicit transformer
+argument. The denoise loop (text CFG batch-2, DDIM or DPM) is fully jitted.
+
+Text conditioning: pass ``prompt_ids`` (+ ``negative_prompt_ids``) tokenized
+host-side (tools/text tokenizer or precomputed cache — the reference's
+``text_cache.py`` pattern), or precomputed ``prompt_embeds``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from motionrag_tpu.models.cogvideox.scheduler import (
+    CogVideoXSchedule,
+    ddim_sample_loop,
+    dpm_sample_loop,
+)
+from motionrag_tpu.models.fusion import condition_fusion
+
+__all__ = [
+    "CogVideoXImageToVideoPipeline",
+    "CogVideoXImageToVideoActionPipeline",
+    "CogVideoXImageToVideoCTPipeline",
+]
+
+
+class CogVideoXImageToVideoPipeline:
+    def __init__(self, transformer, vae, text_encoder, scheduler: str = "ddim",
+                 dtype=jnp.bfloat16):
+        self.transformer = transformer
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.scheduler_name = scheduler
+        self.schedule = CogVideoXSchedule()
+        self.dtype = dtype
+
+    # -- conditioning ------------------------------------------------------
+
+    def encode_prompt(self, params, prompt_ids, attention_mask=None):
+        return self.text_encoder.apply(params["text_encoder"], prompt_ids, attention_mask)
+
+    def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None,
+                                  do_classifier_free_guidance=False, image=None):
+        return None
+
+    # -- core sampling -----------------------------------------------------
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "num_inference_steps", "use_dynamic_cfg", "scheduler"),
+    )
+    def _sample(
+        self,
+        params,
+        noise,
+        image_latents,
+        prompt_embeds,
+        negative_embeds,
+        action_emb,
+        guidance_scale,
+        num_inference_steps: int,
+        use_dynamic_cfg: bool = False,
+        scheduler: str = "ddim",
+    ):
+        text2 = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
+
+        def denoise_fn(x, t):
+            b = x.shape[0]
+            x2 = jnp.concatenate([x, x], axis=0)
+            img2 = jnp.concatenate([image_latents, image_latents], axis=0)
+            model_in = jnp.concatenate([x2.astype(self.dtype), img2.astype(self.dtype)], axis=-1)
+            v = self.transformer.apply(
+                params["transformer"], model_in, text2.astype(self.dtype),
+                jnp.broadcast_to(t, (2 * b,)), action_emb=action_emb,
+            )
+            return v[:b], v[b:]
+
+        loop = ddim_sample_loop if scheduler == "ddim" else dpm_sample_loop
+        kwargs = {"use_dynamic_cfg": use_dynamic_cfg} if scheduler == "ddim" else {}
+        return loop(
+            self.schedule, denoise_fn, noise, num_inference_steps,
+            guidance_scale=guidance_scale, **kwargs,
+        )
+
+    def __call__(
+        self,
+        params,
+        image: jnp.ndarray,
+        rng: jax.Array,
+        prompt_ids: Optional[jnp.ndarray] = None,
+        negative_prompt_ids: Optional[jnp.ndarray] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        ref_videos=None,
+        metadata=None,
+        num_frames: int = 17,
+        height: int = 480,
+        width: int = 720,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        use_dynamic_cfg: bool = False,
+        **unused: Any,
+    ) -> jnp.ndarray:
+        """image: [-1,1] [b, c, h, w] -> video [-1,1] [b, f, c, h, w]."""
+        b = image.shape[0]
+        rng_lat, rng_img, rng_act = jax.random.split(rng, 3)
+
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(params, prompt_ids)
+        if negative_prompt_embeds is None:
+            if negative_prompt_ids is not None:
+                negative_prompt_embeds = self.encode_prompt(params, negative_prompt_ids)
+            else:
+                negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+
+        # image -> single-frame video latent, zero-padded over time
+        img_vid = image.transpose(0, 2, 3, 1)[:, None]  # [b, 1, h, w, 3]
+        img_latent = self.vae.apply(
+            params["vae"], img_vid.astype(self.dtype), method="encode"
+        )  # [b, 1, h/8, w/8, C]
+        f_lat = (num_frames - 1) // 4 + 1
+        pad = jnp.zeros(
+            (b, f_lat - 1) + img_latent.shape[2:], img_latent.dtype
+        )
+        image_latents = jnp.concatenate([img_latent, pad], axis=1)
+
+        action_emb = self.prepare_action_embeddings(
+            params, ref_videos, metadata, rng_act,
+            do_classifier_free_guidance=True, image=image,
+        )
+
+        noise = jax.random.normal(
+            rng_lat,
+            (b, f_lat, height // 8, width // 8, self.vae.latent_channels),
+            jnp.float32,
+        ).astype(self.dtype)
+
+        latents = self._sample(
+            params, noise, image_latents, prompt_embeds, negative_prompt_embeds,
+            action_emb, guidance_scale, num_inference_steps,
+            use_dynamic_cfg, self.scheduler_name,
+        )
+        frames = self.vae.apply(params["vae"], latents.astype(self.dtype), method="decode")
+        # [b, f, h, w, 3] -> [b, f, 3, h, w]
+        return frames.transpose(0, 1, 4, 2, 3)
+
+
+class CogVideoXImageToVideoActionPipeline(CogVideoXImageToVideoPipeline):
+    def __init__(self, transformer, vae, text_encoder, action_embedder,
+                 action_proj_model, ref_fusion_type: str = "mean", scheduler="ddim",
+                 dtype=jnp.bfloat16):
+        super().__init__(transformer, vae, text_encoder, scheduler, dtype)
+        self.action_embedder = action_embedder
+        self.action_proj_model = action_proj_model
+        self.ref_fusion_type = ref_fusion_type
+
+    def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None,
+                                  do_classifier_free_guidance=False, image=None):
+        b, k = ref_videos.shape[:2]
+        flat = ref_videos.reshape((b * k,) + ref_videos.shape[2:])
+        emb = self.action_embedder.apply(params["action_embedder"], flat)
+        emb = emb.reshape(b, k, emb.shape[-2], emb.shape[-1])
+        weight = None
+        if metadata:
+            weight = [m.get("ref_video_distance") for m in metadata]
+        emb = condition_fusion(emb, self.ref_fusion_type, weight=weight)
+        if do_classifier_free_guidance:
+            uncond = self.action_embedder.apply(
+                params["action_embedder"], jnp.zeros_like(ref_videos[:, 0])
+            )
+            emb = jnp.concatenate([uncond, emb], axis=0)
+        return self.action_proj_model.apply(params["action_proj_model"], emb)
+
+
+class CogVideoXImageToVideoCTPipeline(CogVideoXImageToVideoPipeline):
+    def __init__(self, transformer, vae, text_encoder, condition_transformer,
+                 scheduler="ddim", dtype=jnp.bfloat16):
+        super().__init__(transformer, vae, text_encoder, scheduler, dtype)
+        self.condition_transformer = condition_transformer
+
+    def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None,
+                                  do_classifier_free_guidance=False, image=None):
+        f = ref_videos.shape[2]
+        if image is not None:
+            video = jnp.repeat(image[:, None], f, axis=1)
+        else:
+            video = ref_videos[:, 0]
+        batch = {"ref_videos": ref_videos, "video": video}
+        return self.condition_transformer.apply(
+            params["condition_transformer"], batch,
+            do_classifier_free_guidance=do_classifier_free_guidance, method="predict",
+        )

@@ -1,0 +1,167 @@
+"""CogVideoX noise schedules and samplers (DDIM + DPM-Solver++ 2M), jitted.
+
+Schedule math mirrors the reference's CogVideoXDDIMScheduler /
+CogVideoXDPMScheduler (selected by config at reference
+``cogvideox/module.py:28-35``): scaled-linear betas, SNR shift
+(snr_shift_scale=3.0), zero-terminal-SNR rescale, v-prediction, trailing
+timestep spacing. All schedule math in fp64-free fp32 islands (the reference
+keeps schedule math fp32 too, SURVEY.md §7 "sampler numerical parity").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["CogVideoXSchedule", "ddim_sample_loop", "dpm_sample_loop"]
+
+
+def _rescale_zero_terminal_snr(alphas_cumprod: np.ndarray) -> np.ndarray:
+    """Shift the sqrt-alphas-cumprod line so the terminal SNR is zero
+    (reference lvdm ``utils_diffusion.py`` rescale_zero_terminal_snr and
+    diffusers equivalent)."""
+    a = np.sqrt(alphas_cumprod)
+    a0, aT = a[0].copy(), a[-1].copy()
+    a -= aT
+    a *= a0 / (a0 - aT)
+    return a ** 2
+
+
+class CogVideoXSchedule:
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.00085,
+        beta_end: float = 0.012,
+        snr_shift_scale: float = 3.0,
+        rescale_betas_zero_snr: bool = True,
+    ):
+        self.num_train_timesteps = num_train_timesteps
+        betas = np.linspace(
+            beta_start ** 0.5, beta_end ** 0.5, num_train_timesteps, dtype=np.float64
+        ) ** 2
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        # SNR shift (CogVideoX-specific)
+        alphas_cumprod = alphas_cumprod / (
+            snr_shift_scale + (1.0 - snr_shift_scale) * alphas_cumprod
+        )
+        if rescale_betas_zero_snr:
+            alphas_cumprod = _rescale_zero_terminal_snr(alphas_cumprod)
+            # numerical floor at the terminal step (exact 0 breaks div)
+            alphas_cumprod[-1] = 2 ** -24
+        self.alphas_cumprod = jnp.asarray(alphas_cumprod, jnp.float32)
+
+    def timesteps(self, num_inference_steps: int) -> np.ndarray:
+        """trailing spacing: equally spaced from T-ish down."""
+        step = self.num_train_timesteps / num_inference_steps
+        ts = np.round(np.arange(self.num_train_timesteps, 0, -step)).astype(np.int64) - 1
+        return ts[:num_inference_steps]
+
+    def add_noise(self, x0, noise, t):
+        a = self.alphas_cumprod[t].reshape((-1,) + (1,) * (x0.ndim - 1))
+        return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+
+    def get_velocity(self, noise, x0, t):
+        a = self.alphas_cumprod[t].reshape((-1,) + (1,) * (x0.ndim - 1))
+        return jnp.sqrt(a) * noise - jnp.sqrt(1.0 - a) * x0
+
+    def to_x0_eps(self, v, x, a):
+        """v-prediction -> (pred_x0, pred_eps) at alpha_cumprod a."""
+        sqrt_a = jnp.sqrt(a)
+        sqrt_1ma = jnp.sqrt(1.0 - a)
+        x0 = sqrt_a * x - sqrt_1ma * v
+        eps = sqrt_a * v + sqrt_1ma * x
+        return x0, eps
+
+
+def ddim_sample_loop(
+    schedule: CogVideoXSchedule,
+    denoise_fn,
+    latents: jnp.ndarray,
+    num_inference_steps: int,
+    guidance_scale: float = 6.0,
+    use_dynamic_cfg: bool = False,
+):
+    """DDIM (eta=0) v-prediction loop with CFG.
+
+    denoise_fn(x, t) -> (v_uncond, v_cond); whole loop under lax.fori_loop.
+    Dynamic CFG follows the reference pipeline's cosine schedule.
+    """
+    ts = jnp.asarray(schedule.timesteps(num_inference_steps))
+    acp = schedule.alphas_cumprod
+    n = num_inference_steps
+
+    def body(i, x):
+        t = ts[i]
+        a_t = acp[t]
+        t_prev = jnp.where(i + 1 < n, ts[jnp.minimum(i + 1, n - 1)], -1)
+        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+
+        v_u, v_c = denoise_fn(x, t)
+        if use_dynamic_cfg:
+            g = 1.0 + (guidance_scale - 1.0) * (
+                (1.0 - jnp.cos(jnp.pi * ((n - t / (schedule.num_train_timesteps / n)) / n) ** 5.0)) / 2.0
+            )
+        else:
+            g = guidance_scale
+        v = v_u + g * (v_c - v_u)
+        xf = x.astype(jnp.float32)
+        x0, eps = schedule.to_x0_eps(v.astype(jnp.float32), xf, a_t)
+        x_prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
+        return x_prev.astype(x.dtype)
+
+    return lax.fori_loop(0, n, body, latents)
+
+
+def dpm_sample_loop(
+    schedule: CogVideoXSchedule,
+    denoise_fn,
+    latents: jnp.ndarray,
+    num_inference_steps: int,
+    guidance_scale: float = 6.0,
+):
+    """DPM-Solver++(2M) over the same v-pred schedule (log-sigma multistep).
+
+    First step falls back to first-order (DDIM-like); afterwards the 2M
+    correction uses the previous model output.
+    """
+    ts = jnp.asarray(schedule.timesteps(num_inference_steps))
+    acp = schedule.alphas_cumprod
+    n = num_inference_steps
+
+    def lam(a):  # log-SNR/2
+        return 0.5 * (jnp.log(a) - jnp.log(1.0 - a))
+
+    def body(i, carry):
+        x, prev_x0 = carry
+        t = ts[i]
+        a_t = acp[t]
+        t_prev = jnp.where(i + 1 < n, ts[jnp.minimum(i + 1, n - 1)], -1)
+        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0 - 1e-8)
+
+        v_u, v_c = denoise_fn(x, t)
+        v = v_u + guidance_scale * (v_c - v_u)
+        xf = x.astype(jnp.float32)
+        x0, _ = schedule.to_x0_eps(v.astype(jnp.float32), xf, a_t)
+
+        l_t, l_prev = lam(a_t), lam(a_prev)
+        h = l_prev - l_t
+        sigma_t = jnp.sqrt(1.0 - a_t)
+        sigma_prev = jnp.sqrt(1.0 - a_prev)
+
+        # 2M correction (skip on first step)
+        t_last = ts[jnp.maximum(i - 1, 0)]
+        a_last = acp[t_last]
+        h_last = l_t - lam(a_last)
+        r = h_last / jnp.maximum(jnp.abs(h), 1e-8) * jnp.sign(h)
+        d = jnp.where(i > 0, x0 + (x0 - prev_x0) / (2.0 * jnp.maximum(r, 1e-8)) - x0, 0.0)
+        x0_used = x0 + jnp.where(i > 0, d, 0.0)
+
+        x_prev = (sigma_prev / sigma_t) * xf + jnp.sqrt(a_prev) * (
+            -jnp.expm1(-h)
+        ) * x0_used
+        return (x_prev.astype(x.dtype), x0)
+
+    out, _ = lax.fori_loop(0, n, body, (latents, jnp.zeros_like(latents, jnp.float32)))
+    return out

@@ -1,0 +1,169 @@
+"""CogVideoX stack tests at tiny sizes: DiT forward + adapter, schedule
+identities, causal VAE causality + shapes, end-to-end pipeline, training
+loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+from motionrag_tpu.models.cogvideox.module import CogVideoX5B, CogVideoX5BAction
+from motionrag_tpu.models.cogvideox.scheduler import CogVideoXSchedule
+from motionrag_tpu.models.cogvideox.vae3d import CogVideoXVAE
+from motionrag_tpu.models.encoders.t5 import T5Encoder
+from motionrag_tpu.models.encoders.condition import VideoMAEEmbedder
+from motionrag_tpu.models.resampler import Resampler
+
+
+def tiny_dit(**kw):
+    return CogVideoXTransformer3D(
+        in_channels=8, out_channels=4, dim=64, depth=2, heads=4, head_dim=16,
+        text_embed_dim=32, time_embed_dim=32, dtype=jnp.float32, **kw,
+    )
+
+
+def tiny_vae():
+    return CogVideoXVAE(
+        latent_channels=4, block_out_channels=(32, 32, 32, 32),
+        layers_per_block=1, dtype=jnp.float32,
+    )
+
+
+def tiny_t5():
+    return T5Encoder(vocab_size=100, dim=32, depth=2, heads=2, head_dim=16,
+                     ff_dim=64, dtype=jnp.float32)
+
+
+def test_dit_forward_shape():
+    dit = tiny_dit()
+    b, f, h, w = 1, 3, 8, 8
+    x = jnp.zeros((b, f, h, w, 8))
+    text = jnp.zeros((b, 5, 32))
+    params = dit.init(jax.random.key(0), x, text, jnp.zeros((b,), jnp.int32))
+    out = dit.apply(params, x, text, jnp.asarray([500]))
+    assert out.shape == (b, f, h, w, 4)
+
+
+def test_dit_adapter_changes_output():
+    dit = tiny_dit(adapter_sites=("transformer_blocks.1.attn1.processor",))
+    b, f, h, w = 1, 2, 4, 4
+    x = jnp.ones((b, f, h, w, 8)) * 0.1
+    text = jnp.ones((b, 3, 32)) * 0.2
+    action = jnp.ones((b, 4, 64)) * 0.5
+    params = dit.init(jax.random.key(1), x, text, jnp.zeros((b,), jnp.int32), action_emb=action)
+    o1 = dit.apply(params, x, text, jnp.asarray([10]), action_emb=action)
+    o2 = dit.apply(params, x, text, jnp.asarray([10]), action_emb=-action)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_schedule_vpred_identities():
+    sch = CogVideoXSchedule()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 4, 4, 4)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal(x0.shape), jnp.float32)
+    t = jnp.asarray([100, 700])
+    noisy = sch.add_noise(x0, noise, t)
+    v = sch.get_velocity(noise, x0, t)
+    a = sch.alphas_cumprod[t].reshape(2, 1, 1, 1, 1)
+    x0_rec, eps_rec = sch.to_x0_eps(v, noisy, a)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(noise), atol=1e-5)
+    # zero-terminal-SNR: last alpha ~ 0, first ~ 1
+    acp = np.asarray(sch.alphas_cumprod)
+    assert acp[-1] < 1e-6 and acp[0] > 0.99
+    # trailing spacing hits the last timestep
+    ts = sch.timesteps(50)
+    assert ts[0] == 999 and len(ts) == 50
+
+
+def test_vae3d_shapes_and_temporal_compression():
+    vae = tiny_vae()
+    video = jnp.zeros((1, 9, 32, 32, 3))  # 1 + 4*2 frames
+    params = vae.init(jax.random.key(0), video)
+    lat = vae.apply(params, video, method="encode")
+    assert lat.shape == (1, 3, 4, 4, 4)  # (9-1)/4+1=3 frames, 32/8 spatial
+    dec = vae.apply(params, lat, method="decode")
+    assert dec.shape == (1, 9, 32, 32, 3)
+
+
+def test_causal_conv3d_is_temporally_causal():
+    """The conv path never looks forward in time (GroupNorm statistics span
+    the chunk, as in the reference torch implementation, so causality holds
+    at the conv level / across chunk boundaries)."""
+    from motionrag_tpu.models.cogvideox.vae3d import CausalConv3d
+
+    conv = CausalConv3d(4, (3, 3, 3), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 6, 8, 8, 3)), jnp.float32)
+    params = conv.init(jax.random.key(0), x)
+    y1 = conv.apply(params, x)
+    x2 = x.at[:, 4:].add(1.0)  # perturb only frames 4..5
+    y2 = conv.apply(params, x2)
+    np.testing.assert_allclose(np.asarray(y1[:, :4]), np.asarray(y2[:, :4]), atol=1e-6)
+    assert not np.allclose(np.asarray(y1[:, 4:]), np.asarray(y2[:, 4:]), atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def cog_setup():
+    module = CogVideoX5B(
+        transformer=tiny_dit(),
+        vae=tiny_vae(),
+        text_encoder=tiny_t5(),
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(rng.uniform(-1, 1, (1, 9, 3, 32, 32)), jnp.float32),
+        "prompt_ids": jnp.asarray(rng.integers(0, 100, (1, 6)), jnp.int32),
+    }
+    params = module.init_params(jax.random.key(0), batch)
+    return module, params, batch
+
+
+def test_cogvideox_training_loss(cog_setup):
+    module, params, batch = cog_setup
+    loss, metrics = jax.jit(module.loss)(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("scheduler", ["ddim", "dpm"])
+def test_cogvideox_pipeline_smoke(cog_setup, scheduler):
+    module, params, batch = cog_setup
+    module.pipe.scheduler_name = scheduler
+    frames = module.eval_pipeline(
+        params, batch, jax.random.key(2),
+        num_frames=9, height=32, width=32, num_inference_steps=2,
+        sample_method=None,
+    )
+    assert frames.shape == (1, 9, 3, 32, 32)
+    assert np.isfinite(np.asarray(frames)).all()
+
+
+def test_cogvideox_action_module_loss():
+    module = CogVideoX5BAction(
+        transformer=tiny_dit(adapter_sites=("transformer_blocks.0.attn1.processor",)),
+        vae=tiny_vae(),
+        text_encoder=tiny_t5(),
+        adapter_modules=("transformer_blocks.0.attn1.processor",),
+        action_embedder=VideoMAEEmbedder(
+            num_frames=4, image_size=32, dim=32, depth=1, heads=2, dtype=jnp.float32
+        ),
+        action_proj_model=Resampler(
+            dim=32, depth=1, dim_head=8, heads=4, num_queries=4,
+            embedding_dim=32, output_dim=64,
+        ),
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(rng.uniform(-1, 1, (1, 9, 3, 32, 32)), jnp.float32),
+        "ref_videos": jnp.asarray(rng.uniform(-1, 1, (1, 2, 4, 3, 32, 32)), jnp.float32),
+        "prompt_ids": jnp.asarray(rng.integers(0, 100, (1, 6)), jnp.int32),
+    }
+    params = module.init_params(jax.random.key(0), batch)
+    loss, _ = module.loss(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    batch2 = dict(batch, ref_videos=batch["ref_videos"] * -1)
+    loss2, _ = module.loss(params, batch2, jax.random.key(1))
+    assert float(loss) != float(loss2)
