@@ -1,0 +1,247 @@
+"""VideoDataModule: annotation preparation (with RAG retrieval) + loaders.
+
+Port of the reference's ``src/data/datamodule.py:21-330`` with the retrieval
+redesigned for TPU: instead of a 64-process pool issuing per-sample LanceDB
+queries (``datamodule.py:257-262``), all query embeddings go through the
+on-device GEMM top-k in large batches — one jitted call per few thousand
+samples.
+
+prepare_data semantics preserved:
+  - per-split annotation caches keyed by selector + ref_video settings,
+  - ``gt`` (ref = target itself), ``rag_text``, ``rag_text_image``,
+    ``random`` ref modes (``datamodule.py:222-253``),
+  - text embeddings computed once and cached into the annotations,
+  - per-sample ``where video != self`` exclusion.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from motionrag_tpu.data.dataset import VideoDataset, collate_fn as default_collate
+from motionrag_tpu.data.loader import DataLoader
+
+__all__ = ["VideoDataModule"]
+
+
+class VideoDataModule:
+    def __init__(
+        self,
+        video_size=(480, 720),
+        video_length: int = 16,
+        video_dir: str = ".",
+        train_annotation_path: Sequence[str] = (),
+        val_annotation_path: Sequence[str] = (),
+        test_annotation_path: Sequence[str] = (),
+        train_clip_selector=None,
+        val_clip_selector=None,
+        test_clip_selector=None,
+        train_transforms: Sequence = (),
+        uncond_text_ratio: float = 0.0,
+        uncond_video_ratio: float = 0.0,
+        prompt_type: str = "llm",
+        use_ref_frame: bool = False,
+        ref_frame_dir=None,
+        num_workers: int = 4,
+        prefetch_factor: int = 2,
+        train_batch_size: int = 1,
+        val_batch_size: int = 1,
+        test_batch_size: int = 1,
+        collate_fn: Optional[Callable] = None,
+        tokenizer: Optional[Callable] = None,
+        sampling_config: Optional[dict] = None,
+        ref_video_type: Optional[str] = None,
+        ref_video_num: int = 1,
+        rag_prompt_type: str = "motion",
+        rag_db_path: Optional[str] = None,
+        rag_table_name: str = "motion_caption",
+        text_embedder: str = "gte",
+        cache_dir: str = "cache/annotations",
+    ):
+        self.video_size = tuple(video_size)
+        self.video_length = video_length
+        self.video_dir = video_dir
+        self.paths = {
+            "train": list(train_annotation_path),
+            "val": list(val_annotation_path),
+            "test": list(test_annotation_path),
+        }
+        self.selectors = {
+            "train": train_clip_selector,
+            "val": val_clip_selector,
+            "test": test_clip_selector,
+        }
+        self.train_transforms = list(train_transforms)
+        self.uncond_text_ratio = uncond_text_ratio
+        self.uncond_video_ratio = uncond_video_ratio
+        self.prompt_type = prompt_type
+        self.use_ref_frame = use_ref_frame
+        self.ref_frame_dir = ref_frame_dir
+        self.num_workers = num_workers
+        self.prefetch_factor = prefetch_factor
+        self.batch_sizes = {
+            "train": train_batch_size, "val": val_batch_size, "test": test_batch_size
+        }
+        self.collate_fn = collate_fn or default_collate
+        self.tokenizer = tokenizer
+        self.sampling_config = sampling_config
+        self.ref_video_type = ref_video_type
+        self.ref_video_num = ref_video_num
+        self.rag_prompt_type = rag_prompt_type
+        self.rag_db_path = rag_db_path
+        self.rag_table_name = rag_table_name
+        self.text_embedder_name = text_embedder
+        self.cache_dir = Path(cache_dir)
+        self.datasets: dict = {}
+
+    # -- annotation preparation -------------------------------------------
+
+    def _cache_path(self, split: str) -> Path:
+        key = repr(
+            (
+                self.paths[split], type(self.selectors[split]).__name__,
+                self.ref_video_type, self.ref_video_num, self.rag_prompt_type,
+            )
+        )
+        digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+        return self.cache_dir / f"{split}_{digest}.pkl"
+
+    def prepare_annotations(self, split: str) -> list[dict]:
+        cache = self._cache_path(split)
+        if cache.exists():
+            with cache.open("rb") as f:
+                return pickle.load(f)
+
+        annotations: list[dict] = []
+        for path in self.paths[split]:
+            annotations.extend(VideoDataset._load(path))
+        selector = self.selectors[split]
+        if selector is not None:
+            annotations = selector(annotations)
+
+        if self.ref_video_type == "gt":
+            assert self.ref_video_num == 1, "ref_video_num must be 1 for gt refs"
+            for a in annotations:
+                a["ref_videos"] = [
+                    {
+                        "video": a["video"], "start_sec": a["start_sec"],
+                        "end_sec": a["end_sec"], "_distance": 0.0,
+                    }
+                ]
+        elif self.ref_video_type == "random":
+            import random as _random
+
+            for a in annotations:
+                a["ref_videos"] = [
+                    {
+                        "video": c["video"], "start_sec": c["start_sec"],
+                        "end_sec": c["end_sec"], "_distance": 0.0,
+                    }
+                    for c in _random.choices(annotations, k=self.ref_video_num + 3)
+                ]
+        elif self.ref_video_type in ("rag_text", "rag_text_image"):
+            self._attach_rag_refs(annotations)
+        elif self.ref_video_type is not None:
+            raise ValueError(f"Invalid ref_video_type {self.ref_video_type!r}")
+
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        with cache.open("wb") as f:
+            pickle.dump(annotations, f)
+        return annotations
+
+    def _attach_rag_refs(self, annotations: list[dict]) -> None:
+        """Batched on-device retrieval: embed all query texts, run the exact
+        GEMM top-k in chunks, attach per-sample ref lists."""
+        from motionrag_tpu.rag.database import RAGDatabase
+        from motionrag_tpu.rag.embedders import get_embedder
+
+        db = RAGDatabase(
+            self.rag_db_path, self.rag_table_name,
+            text_embedder=self.text_embedder_name,
+        )
+        need = [a for a in annotations if "text_embedding" not in a]
+        if need:
+            texts = [a.get(self.rag_prompt_type) or "" for a in need]
+            emb = db.text_embedder.encode(texts, batch_size=256)
+            for a, e in zip(need, emb):
+                a["text_embedding"] = e
+
+        index = db._index("text_embedding")
+        top_k = self.ref_video_num + 3
+        meta = db.store.meta
+        chunk = 2048
+        for start in range(0, len(annotations), chunk):
+            group = annotations[start : start + chunk]
+            q = np.stack([a["text_embedding"] for a in group])
+            exclude = [a.get("video") for a in group]
+            dist, idx = index.search(q, top_k, exclude=exclude)
+            for a, drow, irow in zip(group, dist, idx):
+                refs = []
+                for d, i in zip(drow, irow):
+                    if i < 0:
+                        continue
+                    row = meta.iloc[int(i)]
+                    refs.append(
+                        {
+                            "video": row["video"],
+                            "start_sec": float(row["start_sec"]),
+                            "end_sec": float(row["end_sec"]),
+                            "_distance": float(d),
+                        }
+                    )
+                a["ref_videos"] = refs
+        # TODO(rag_text_image): image re-rank via db.text_image_search once
+        # eva-clip image embeddings are attached (reference datamodule.py:306)
+
+    def prepare_data(self) -> None:
+        for split in ("train", "val", "test"):
+            if self.paths[split]:
+                self.prepare_annotations(split)
+
+    def setup(self, stage: str | None = None) -> None:
+        for split in ("train", "val", "test"):
+            if not self.paths[split]:
+                continue
+            annotations = self.prepare_annotations(split)
+            self.datasets[split] = VideoDataset(
+                annotations,
+                video_size=self.video_size,
+                video_length=self.video_length,
+                video_dir=self.video_dir,
+                extra_transforms=self.train_transforms if split == "train" else (),
+                tokenizer=self.tokenizer,
+                sampling_config=self.sampling_config,
+                uncond_text_ratio=self.uncond_text_ratio if split == "train" else 0.0,
+                uncond_video_ratio=self.uncond_video_ratio if split == "train" else 0.0,
+                use_ref_frame=self.use_ref_frame,
+                ref_frame_dir=self.ref_frame_dir,
+                prompt_type=self.prompt_type,
+                ref_video_num=self.ref_video_num,
+            )
+
+    # -- loaders -----------------------------------------------------------
+
+    def _loader(self, split: str, shuffle: bool) -> DataLoader:
+        return DataLoader(
+            self.datasets[split],
+            batch_size=self.batch_sizes[split],
+            shuffle=shuffle,
+            num_workers=self.num_workers,
+            prefetch_factor=self.prefetch_factor,
+            collate_fn=self.collate_fn,
+            drop_last=split == "train",
+        )
+
+    def train_dataloader(self):
+        return self._loader("train", shuffle=True)
+
+    def val_dataloader(self):
+        return self._loader("val", shuffle=False)
+
+    def test_dataloader(self):
+        return self._loader("test", shuffle=False)
