@@ -1,0 +1,72 @@
+"""Motion distance: optical-flow magnitude histogram KL(gt || pred)
+(reference ``src/metrics/motion.py:9-72``: RAFT flow -> log2-magnitude
+256-bin histogram in [-7, 5] -> +0.1 smoothing -> normalized -> KL,
+averaged over frame pairs).
+
+Flow backend: cv2 Farneback (host) — a dense classical flow standing in for
+torchvision's RAFT-large until the RAFT port lands (SURVEY.md §7 step 5
+notes RAFT as the hard one). The histogram/KL math is identical; the flow
+estimator differs, which shifts absolute values but preserves ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from motionrag_tpu.metrics.base import Metric
+
+__all__ = ["MotionDistance"]
+
+
+def farneback_flow(video_u8: np.ndarray) -> np.ndarray:
+    """[t, c, h, w] uint8 -> flow [t-1, 2, h, w] (cv2 Farneback)."""
+    import cv2
+
+    frames = video_u8.transpose(0, 2, 3, 1)
+    gray = [cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in frames]
+    flows = []
+    for a, b in zip(gray[:-1], gray[1:]):
+        flow = cv2.calcOpticalFlowFarneback(
+            a, b, None, pyr_scale=0.5, levels=4, winsize=15,
+            iterations=3, poly_n=5, poly_sigma=1.2, flags=0,
+        )
+        flows.append(flow.transpose(2, 0, 1))
+    return np.stack(flows, axis=0)
+
+
+class MotionDistance(Metric):
+    higher_is_better = False
+
+    def __init__(self, hist_bins: int = 256, flow_fn: Optional[Callable] = None):
+        super().__init__()
+        self.hist_bins = hist_bins
+        self.flow_fn = flow_fn or farneback_flow
+        self.add_state("motion_kl", 0.0)
+        self.add_state("num_samples", 0)
+
+    def calc_motion_hist(self, video_u8: np.ndarray) -> np.ndarray:
+        flow = np.asarray(self.flow_fn(video_u8), np.float32)
+        mag = np.linalg.norm(flow, axis=1)  # [t-1, h, w]
+        log_mag = np.log2(np.maximum(mag, 1e-12))
+        hists = np.stack(
+            [
+                np.histogram(m, bins=self.hist_bins, range=(-7.0, 5.0))[0].astype(np.float64)
+                for m in log_mag
+            ]
+        )
+        hists += 0.1
+        return hists / hists.sum(axis=1, keepdims=True)
+
+    def update(self, preds: np.ndarray, target: np.ndarray):
+        assert preds.shape == target.shape and preds.ndim == 5
+        for pred, tgt in zip(preds, target):
+            ph = self.calc_motion_hist(pred)
+            th = self.calc_motion_hist(tgt)
+            kl = (th * (np.log(th) - np.log(ph))).sum(axis=1)
+            self.motion_kl += float(kl.mean())
+            self.num_samples += 1
+
+    def compute(self) -> float:
+        return self.motion_kl / self.num_samples
