@@ -24,17 +24,16 @@ import numpy as np
 
 
 def make_params_from_shapes(module_init_fn, scale=0.02, seed=0):
-    """Build a param tree from eval_shape (random bf16 host arrays) —
-    avoids a full fp32 on-device init of billions of parameters."""
+    """Build a param tree from eval_shape with small constant values —
+    avoids a full fp32 init of billions of parameters (wall-clock timing is
+    value-independent on TPU; no denormal/branch effects)."""
     import jax
     import jax.numpy as jnp
 
     shapes = jax.eval_shape(module_init_fn)
-    rng = np.random.default_rng(seed)
 
     def mk(s):
-        arr = rng.standard_normal(s.shape, dtype=np.float32) * scale
-        return jnp.asarray(arr.astype(jax.dtypes.canonicalize_dtype(s.dtype)))
+        return jnp.full(s.shape, scale, jax.dtypes.canonicalize_dtype(s.dtype))
 
     return jax.tree.map(mk, shapes)
 

@@ -1,0 +1,286 @@
+"""DynamiCrafter latent-diffusion modules (baseline / Action / CAMA-CT).
+
+Functional re-design of the vendored lvdm LightningModules
+(``lvdm/models/ddpm3d.py``): hybrid conditioning — channel-concat of the
+repeated conditioning-frame latent + cross-attention dict
+{prompt, image, action} (``ddpm3d.py:1136-1163, 1378-1382``) — with
+v-parameterization training, dynamic latent rescale, independent text/image
+dropout, random conditioning frame, and fs conditioning.
+
+Variants:
+  - ``DynamiCrafterModule``       = LatentVisualDiffusion (``:1054-1276``)
+  - ``DynamiCrafterActionModule`` = LatentActionDiffusion (``:1279-1340``):
+    + action_embedder/action_proj, zeros-video uncond at ``uncond_prob``,
+    fusion modes
+  - ``DynamiCrafterCTModule``     = LatentConditionTransformers
+    (``:1343-1358``): CAMA CT produces the action embedding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from motionrag_tpu.models.dynamicrafter.ddim import LVDMSchedule
+from motionrag_tpu.models.dynamicrafter.pipeline import DynamiCrafterPipeline
+from motionrag_tpu.models.dynamicrafter.unet3d import UNet3D
+from motionrag_tpu.models.dynamicrafter.vae import AutoencoderKL2D
+from motionrag_tpu.models.encoders.clip_text import CLIPTextEncoder
+from motionrag_tpu.models.encoders.condition import CLIPImageEmbedder
+from motionrag_tpu.models.fusion import condition_fusion
+from motionrag_tpu.models.resampler import Resampler
+
+__all__ = [
+    "DynamiCrafterModule",
+    "DynamiCrafterActionModule",
+    "DynamiCrafterCTModule",
+]
+
+
+class DynamiCrafterModule:
+    def __init__(
+        self,
+        unet: Optional[UNet3D] = None,
+        vae: Optional[AutoencoderKL2D] = None,
+        text_encoder: Optional[CLIPTextEncoder] = None,
+        image_encoder: Optional[CLIPImageEmbedder] = None,
+        image_proj: Optional[Resampler] = None,
+        scale_factor: float = 0.18215,
+        rescale_betas_zero_snr: bool = True,
+        use_dynamic_rescale: bool = True,
+        base_scale: float = 0.3,
+        rand_cond_frame: bool = True,
+        uncond_prob: float = 0.05,
+        frame_stride: int = 10,
+        eval_pipeline_call_kwargs: dict | None = None,
+        freeze_modules=("vae", "text_encoder", "image_encoder"),
+        full_trainable_modules=(),
+        lora_trainable_modules=(),
+        lora_rank: int = 64,
+        dtype=jnp.bfloat16,
+    ):
+        self.unet = unet or UNet3D(dtype=dtype)
+        self.vae = vae or AutoencoderKL2D(dtype=dtype)
+        self.text_encoder = text_encoder or CLIPTextEncoder(dtype=dtype)
+        self.image_encoder = image_encoder or CLIPImageEmbedder(pooled=False, dtype=dtype)
+        self.image_proj = image_proj or Resampler(
+            dim=1024, depth=4, dim_head=64, heads=12, num_queries=16,
+            embedding_dim=1280, output_dim=1024, video_length=16, dtype=dtype,
+        )
+        self.scale_factor = scale_factor
+        self.schedule = LVDMSchedule(
+            rescale_betas_zero_snr=rescale_betas_zero_snr,
+            use_dynamic_rescale=use_dynamic_rescale,
+            base_scale=base_scale,
+        )
+        self.rand_cond_frame = rand_cond_frame
+        self.uncond_prob = uncond_prob
+        self.frame_stride = frame_stride
+        self.eval_pipeline_call_kwargs = dict(eval_pipeline_call_kwargs or {})
+        self.freeze_modules = tuple(freeze_modules)
+        self.full_trainable_modules = tuple(full_trainable_modules)
+        self.lora_trainable_modules = tuple(lora_trainable_modules)
+        self.lora_rank = lora_rank
+        self.dtype = dtype
+        self.pipe = self.build_pipeline()
+
+    def build_pipeline(self):
+        return DynamiCrafterPipeline(self)
+
+    # -- init --------------------------------------------------------------
+
+    def template_action_emb(self, b):
+        return None
+
+    def extra_param_inits(self, rng, batch) -> dict:
+        return {}
+
+    def init_params(self, rng, batch: dict) -> dict:
+        video = jnp.asarray(batch["video"], jnp.float32)
+        b, f, c, h, w = video.shape
+        rngs = jax.random.split(rng, 5)
+        frames = video.reshape(b * f, c, h, w).transpose(0, 2, 3, 1).astype(self.dtype)
+        vae_params = self.vae.init(rngs[0], frames[:1])
+        ids = jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 77), jnp.int32)))
+        text_params = self.text_encoder.init(rngs[1], ids)
+        clip_params = self.image_encoder.init(rngs[2], video[:, 0])
+        img_tokens = self.image_encoder.apply(clip_params, video[:, 0])
+        # per-frame repeat before the resampler (lvdm image_proj V2 path)
+        img_tokens_f = jnp.repeat(img_tokens, f, axis=0).reshape(
+            b, f * img_tokens.shape[1], img_tokens.shape[-1]
+        )
+        proj_params = self.image_proj.init(rngs[3], img_tokens_f)
+        image_ctx = self.image_proj.apply(proj_params, img_tokens_f)
+
+        sample = jnp.zeros((b, f, h // 8, w // 8, self.unet.in_channels), self.dtype)
+        context = {
+            "prompt": jnp.zeros((b, ids.shape[1], self.unet.context_dim), self.dtype),
+            "image": image_ctx.astype(self.dtype),
+            "action": self.template_action_emb(b),
+        }
+        unet_params = self.unet.init(rngs[4], sample, jnp.zeros((b,)), context)
+        params = {
+            "unet": unet_params, "vae": vae_params, "text_encoder": text_params,
+            "image_encoder": clip_params, "image_proj": proj_params,
+        }
+        params.update(self.extra_param_inits(rngs[4], batch))
+        return params
+
+    # -- conditioning ------------------------------------------------------
+
+    def encode_first_stage(self, params, video, rng=None):
+        """[-1,1] [b, f, c, h, w] -> latents [b, f, h/8, w/8, 4] x scale."""
+        b, f, c, h, w = video.shape
+        frames = video.reshape(b * f, c, h, w).transpose(0, 2, 3, 1).astype(self.dtype)
+        z = self.vae.apply(params["vae"], frames, rng, method="encode")
+        z = z.reshape(b, f, h // 8, w // 8, -1)
+        return z.astype(jnp.float32) * self.scale_factor
+
+    def image_context(self, params, cond_frames):
+        """[b, c, h, w] frames -> per-frame image context [b, f*l, 1024]."""
+        tokens = self.image_encoder.apply(params["image_encoder"], cond_frames)
+        f = self.image_proj.video_length or 1
+        tokens_f = jnp.repeat(tokens, f, axis=0).reshape(
+            tokens.shape[0], f * tokens.shape[1], tokens.shape[-1]
+        )
+        return self.image_proj.apply(params["image_proj"], tokens_f)
+
+    def action_context(self, params, batch, rng):
+        return None
+
+    # -- training ----------------------------------------------------------
+
+    def loss(self, params, batch: dict, rng: jax.Array):
+        video = jnp.asarray(batch["video"])
+        b, f, c, h, w = video.shape
+        rngs = jax.random.split(rng, 6)
+
+        z = self.encode_first_stage(params, video, rngs[0])
+
+        # random conditioning frame (reference ddpm3d.py:1127-1128)
+        if self.rand_cond_frame:
+            cond_idx = jax.random.randint(rngs[1], (), 0, f)
+        else:
+            cond_idx = 0
+        cond_frame = jax.lax.dynamic_index_in_dim(video, cond_idx, axis=1, keepdims=False)
+
+        # independent text/image dropout (reference ddpm3d.py:1112-1123)
+        drop_text = jax.random.bernoulli(rngs[2], self.uncond_prob, (b,))
+        drop_img = jax.random.bernoulli(rngs[3], self.uncond_prob, (b,))
+
+        prompt = self.text_encoder.apply(
+            params["text_encoder"], jnp.asarray(batch["prompt_ids"])
+        )
+        prompt = jnp.where(drop_text[:, None, None], jnp.zeros_like(prompt), prompt)
+        image_ctx = self.image_context(params, cond_frame)
+        image_ctx = jnp.where(drop_img[:, None, None], jnp.zeros_like(image_ctx), image_ctx)
+        action = self.action_context(params, batch, rngs[4])
+
+        # hybrid conditioning: channel-concat the repeated cond-frame latent
+        cond_z = jax.lax.dynamic_index_in_dim(z, cond_idx, axis=1, keepdims=True)
+        c_concat = jnp.broadcast_to(cond_z, z.shape)
+
+        t = jax.random.randint(rngs[5], (b,), 0, self.schedule.num_timesteps)
+        noise = jax.random.normal(rngs[5], z.shape, jnp.float32)
+        x_noisy = self.schedule.q_sample(z, noise, t)
+        target = self.schedule.get_v(z, noise, t)
+
+        unet_in = jnp.concatenate(
+            [x_noisy.astype(self.dtype), c_concat.astype(self.dtype)], axis=-1
+        )
+        context = {
+            "prompt": prompt.astype(self.dtype),
+            "image": image_ctx.astype(self.dtype),
+            "action": None if action is None else action.astype(self.dtype),
+        }
+        fs = jnp.full((b,), float(self.frame_stride), jnp.float32)
+        pred = self.unet.apply(params["unet"], unet_in, t, context, fs=fs).astype(jnp.float32)
+
+        loss = jnp.mean(jnp.square(pred - target))
+        return loss, {"train/main_loss": loss}
+
+    # -- evaluation --------------------------------------------------------
+
+    def eval_pipeline(self, params, batch: dict, rng: jax.Array, **kwargs):
+        call_kwargs = dict(self.eval_pipeline_call_kwargs)
+        call_kwargs.update(kwargs)
+        frames = self.pipe(params, batch, rng, **call_kwargs)
+        return frames[:, :16]
+
+    @property
+    def trainable_patterns(self):
+        return tuple(self.full_trainable_modules)
+
+
+class DynamiCrafterActionModule(DynamiCrafterModule):
+    def __init__(
+        self,
+        *args,
+        action_embedder=None,
+        action_proj=None,
+        ref_fusion_type: str = "mean",
+        action_uncond_prob: float = 0.05,
+        **kwargs,
+    ):
+        self.action_embedder = action_embedder
+        self.action_proj = action_proj
+        self.ref_fusion_type = ref_fusion_type
+        self.action_uncond_prob = action_uncond_prob
+        if kwargs.get("unet") is None:
+            kwargs["unet"] = UNet3D(
+                action_cross_attention=True, dtype=kwargs.get("dtype", jnp.bfloat16)
+            )
+        super().__init__(*args, **kwargs)
+
+    def template_action_emb(self, b):
+        n = getattr(self.action_proj, "num_queries", 16)
+        d = getattr(self.action_proj, "output_dim", self.unet.context_dim)
+        return jnp.zeros((b, n, d), self.dtype)
+
+    def extra_param_inits(self, rng, batch) -> dict:
+        r1, r2 = jax.random.split(rng)
+        ref = jnp.asarray(batch["ref_videos"])
+        flat = ref.reshape((-1,) + ref.shape[2:])
+        emb_params = self.action_embedder.init(r1, flat)
+        tokens = self.action_embedder.apply(emb_params, flat[:1])
+        proj_params = self.action_proj.init(r2, tokens)
+        return {"action_embedder": emb_params, "action_proj": proj_params}
+
+    def action_context(self, params, batch, rng):
+        ref = jnp.asarray(batch["ref_videos"])
+        b, k = ref.shape[:2]
+        # uncond zeros-video branch at uncond_prob (reference ddpm3d.py:1314)
+        drop = jax.random.bernoulli(rng, self.action_uncond_prob, (b,))
+        ref = jnp.where(drop[:, None, None, None, None, None], jnp.zeros_like(ref), ref)
+        flat = ref.reshape((b * k,) + ref.shape[2:])
+        emb = self.action_embedder.apply(params["action_embedder"], flat)
+        emb = emb.reshape(b, k, emb.shape[-2], emb.shape[-1])
+        emb = condition_fusion(emb, self.ref_fusion_type, weight=batch.get("ref_video_distance"))
+        return self.action_proj.apply(params["action_proj"], emb)
+
+
+class DynamiCrafterCTModule(DynamiCrafterActionModule):
+    def __init__(self, *args, condition_transformer=None, **kwargs):
+        self.condition_transformer = condition_transformer
+        kwargs.setdefault("action_embedder", None)
+        kwargs.setdefault("action_proj", None)
+        super().__init__(*args, **kwargs)
+
+    def template_action_emb(self, b):
+        proj = self.condition_transformer.vision_proj
+        return jnp.zeros((b, proj.num_queries, proj.output_dim), self.dtype)
+
+    def extra_param_inits(self, rng, batch) -> dict:
+        ref = jnp.asarray(batch["ref_videos"])
+        videos = jnp.concatenate([ref, batch["video"][:, None]], axis=1)
+        ct_params = self.condition_transformer.init(rng, videos, videos[:, :, 0])
+        return {"condition_transformer": ct_params}
+
+    def action_context(self, params, batch, rng):
+        return self.condition_transformer.apply(
+            params["condition_transformer"],
+            {"ref_videos": batch["ref_videos"], "video": batch["video"]},
+            return_loss=False, method="batch_forward",
+        )[:, -1]

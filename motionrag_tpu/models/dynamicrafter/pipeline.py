@@ -1,0 +1,136 @@
+"""DynamiCrafter image-guided synthesis pipeline.
+
+Re-design of the vendored ``image_guided_synthesis`` driver (reference
+``DynamiCrafter/scripts/evaluation/inference.py:174-305`` + the thin
+wrappers at ``src/projects/dynamicrafter/pipelines/pipeline.py``): build the
+hybrid cond/uncond dicts (text + per-frame image tokens + action branch,
+channel-concat cond-frame latent), run the jitted DDIM loop with batched-2x
+CFG, per-frame VAE decode (``perframe_ae``, ``ddpm3d.py:676-685``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from motionrag_tpu.models.dynamicrafter.ddim import ddim_sample
+
+__all__ = ["DynamiCrafterPipeline", "DynamiCrafterPipelineRef"]
+
+
+class DynamiCrafterPipeline:
+    def __init__(self, module):
+        self.module = module
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps", "guidance_rescale_f"))
+    def _sample(self, params, noise, c_concat, ctx_cond, ctx_uncond, fs,
+                guidance_scale, num_steps: int, guidance_rescale_f: float = 0.0):
+        module = self.module
+
+        def denoise_fn(x, t):
+            b = x.shape[0]
+            x2 = jnp.concatenate([x, x], axis=0)
+            cc2 = jnp.concatenate([c_concat, c_concat], axis=0)
+            unet_in = jnp.concatenate(
+                [x2.astype(module.dtype), cc2.astype(module.dtype)], axis=-1
+            )
+            ctx2 = {}
+            for key in ("prompt", "image", "action"):
+                c, u = ctx_cond.get(key), ctx_uncond.get(key)
+                ctx2[key] = None if c is None else jnp.concatenate([c, u], axis=0)
+            fs2 = jnp.concatenate([fs, fs], axis=0)
+            pred = module.unet.apply(
+                params["unet"], unet_in, jnp.broadcast_to(t, (2 * b,)), ctx2, fs=fs2
+            )
+            return pred[:b], pred[b:]
+
+        return ddim_sample(
+            module.schedule, denoise_fn, noise, num_steps,
+            guidance_scale=guidance_scale, guidance_rescale=guidance_rescale_f,
+            parameterization="v",
+        )
+
+    def __call__(
+        self,
+        params,
+        batch: dict,
+        rng: jax.Array,
+        num_frames: int = 16,
+        height: int = 320,
+        width: int = 512,
+        ddim_steps: int = 30,
+        unconditional_guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.7,
+        fs: float | None = None,
+        **unused: Any,
+    ) -> jnp.ndarray:
+        """batch: {'video' [-1,1] [b,f,c,h,w], 'prompt_ids', 'ref_videos'?}
+        -> generated video [-1,1] [b, f, c, h, w]."""
+        module = self.module
+        video = jnp.asarray(batch["video"])
+        b = video.shape[0]
+        image = video[:, 0]
+        rng_lat, rng_act = jax.random.split(rng)
+
+        # conditioning frame latent, repeated over frames
+        z_cond = module.encode_first_stage(params, image[:, None])  # [b,1,h/8,w/8,4]
+        c_concat = jnp.broadcast_to(
+            z_cond, (b, num_frames) + z_cond.shape[2:]
+        )
+
+        prompt = module.text_encoder.apply(
+            params["text_encoder"], jnp.asarray(batch["prompt_ids"])
+        )
+        uncond_prompt = jnp.zeros_like(prompt)  # empty-prompt embedding slot
+        if "negative_prompt_ids" in batch:
+            uncond_prompt = module.text_encoder.apply(
+                params["text_encoder"], jnp.asarray(batch["negative_prompt_ids"])
+            )
+        image_ctx = module.image_context(params, image)
+        uncond_image_ctx = module.image_context(params, jnp.zeros_like(image))
+
+        action = module.action_context(params, batch, rng_act)
+        uncond_action = None
+        if action is not None:
+            zero_batch = dict(batch)
+            zero_batch["ref_videos"] = jnp.zeros_like(jnp.asarray(batch["ref_videos"]))
+            zero_batch["video"] = jnp.zeros_like(video)
+            uncond_action = module.action_context(params, zero_batch, rng_act)
+
+        dtype = module.dtype
+        ctx_cond = {
+            "prompt": prompt.astype(dtype), "image": image_ctx.astype(dtype),
+            "action": None if action is None else action.astype(dtype),
+        }
+        ctx_uncond = {
+            "prompt": uncond_prompt.astype(dtype), "image": uncond_image_ctx.astype(dtype),
+            "action": None if uncond_action is None else uncond_action.astype(dtype),
+        }
+
+        noise = jax.random.normal(
+            rng_lat, (b, num_frames, height // 8, width // 8, module.vae.latent_channels),
+            jnp.float32,
+        ).astype(dtype)
+        fs_arr = jnp.full((b,), float(fs if fs is not None else module.frame_stride))
+
+        latents = self._sample(
+            params, noise, c_concat, ctx_cond, ctx_uncond, fs_arr,
+            unconditional_guidance_scale, ddim_steps, guidance_rescale,
+        )
+
+        # per-frame VAE decode (perframe_ae)
+        z = latents.astype(jnp.float32) / module.scale_factor
+        bz, f, hh, ww, cz = z.shape
+        frames = module.vae.apply(
+            params["vae"], z.reshape(bz * f, hh, ww, cz).astype(dtype), method="decode"
+        )
+        frames = frames.reshape(bz, f, frames.shape[1], frames.shape[2], 3)
+        return frames.transpose(0, 1, 4, 2, 3)
+
+
+# the Ref variant shares __call__; the action/CT distinction lives in the
+# module's action_context (reference pipeline.py:10-115 wrappers)
+DynamiCrafterPipelineRef = DynamiCrafterPipeline

@@ -1,0 +1,417 @@
+"""DynamiCrafter 3D UNet (Flax/NHWC, Pallas attention).
+
+TPU-native re-design of the lvdm UNetModel the reference vendors
+(``lvdm/modules/networks/openaimodel3d.py:284-636``, configured at
+``configs/dynamicrafter/MotionRAG_open.yml:206-238``): SD-style UNet whose
+every level carries ResBlock(+TemporalConv), SpatialTransformer and
+TemporalTransformer; context is a dict {prompt, image, action}:
+
+  - text cross-attention (77 OpenCLIP tokens),
+  - per-frame image cross-attention branch sharing the text query
+    (``attention.py:87-92, 191-204``: to_k_ip/to_v_ip, optional learnable
+    tanh-gated scale),
+  - Motion-Adapter action branch with its own query from the post-attention
+    output (``attention.py:206-220``: to_q_a/to_k_a/to_v_a),
+  - frame-stride (fs) embedding added to the time embedding
+    (``openaimodel3d.py:602-610``),
+  - init temporal attention after conv_in (addition_attention).
+
+Layout: features flow as [(b t), h, w, c]; temporal layers reshape to
+[(b h w), t, c] (t = 16 — tiny sequences, XLA attention; spatial attention
+at 1024x... tokens goes through the Pallas flash kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from motionrag_tpu.models.diffusion_blocks import (
+    GEGLUFeedForward,
+    TimestepEmbedding,
+    Timesteps,
+)
+from motionrag_tpu.ops.attention import dot_product_attention
+from motionrag_tpu.ops.norms import group_norm
+
+__all__ = ["UNet3D"]
+
+
+class LVDMCrossAttention(nn.Module):
+    """Cross-attention with optional image and action branches
+    (reference ``lvdm/modules/attention.py:38-223`` efficient_forward)."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    image_branch: bool = False
+    image_scale: float = 1.0
+    image_scale_learnable: bool = False
+    action_branch: bool = False
+    action_scale: float = 1.0
+    action_scale_learnable: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context: Optional[dict] = None):
+        inner = self.heads * self.dim_head
+        b, l, _ = x.shape
+        ctx_dim = self.context_dim or self.query_dim
+        self_attn = context is None or "prompt" not in context
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv_src = x if self_attn else context["prompt"]
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv_src)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv_src)
+
+        def heads_of(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, self.dim_head)
+
+        qh = heads_of(q)
+        out = dot_product_attention(qh, heads_of(k), heads_of(v)).reshape(b, l, inner)
+
+        if self.image_branch and context is not None and context.get("image") is not None:
+            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(context["image"])
+            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(context["image"])
+            out_ip = dot_product_attention(qh, heads_of(k_ip), heads_of(v_ip)).reshape(b, l, inner)
+            scale = self.image_scale
+            if self.image_scale_learnable:
+                alpha = self.param("alpha", nn.initializers.zeros, ())
+                scale = scale * (jnp.tanh(alpha) + 1.0)
+            out = out + scale * out_ip
+
+        if self.action_branch and context is not None and context.get("action") is not None:
+            q_a = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q_a")(out)
+            k_a = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_a")(context["action"])
+            v_a = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_a")(context["action"])
+            out_a = dot_product_attention(
+                heads_of(q_a), heads_of(k_a), heads_of(v_a)
+            ).reshape(b, l, inner)
+            scale = self.action_scale
+            if self.action_scale_learnable:
+                alpha = self.param("alpha_action", nn.initializers.zeros, ())
+                scale = scale * (jnp.tanh(alpha) + 1.0)
+            out = out + scale * out_a
+
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class LVDMTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    image_branch: bool = False
+    image_scale_learnable: bool = False
+    action_branch: bool = False
+    action_scale_learnable: bool = False
+    self_only: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        x = x + LVDMCrossAttention(
+            self.dim, None, self.heads, self.dim_head, dtype=self.dtype, name="attn1"
+        )(ln("norm1")(x))
+        if not self.self_only:
+            x = x + LVDMCrossAttention(
+                self.dim, self.context_dim, self.heads, self.dim_head,
+                image_branch=self.image_branch,
+                image_scale_learnable=self.image_scale_learnable,
+                action_branch=self.action_branch,
+                action_scale_learnable=self.action_scale_learnable,
+                dtype=self.dtype, name="attn2",
+            )(ln("norm2")(x), context=context)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(ln("norm3")(x))
+        return x
+
+
+class SpatialTransformer3D(nn.Module):
+    """Per-frame spatial transformer with the context dict
+    (reference ``attention.py:269-332``)."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    context_dim: int
+    depth: int = 1
+    image_branch: bool = False
+    image_scale_learnable: bool = False
+    action_branch: bool = False
+    action_scale_learnable: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        bt, h, w, c = x.shape
+        residual = x
+        scale = self.param("norm_scale", nn.initializers.ones, (c,))
+        bias = self.param("norm_bias", nn.initializers.zeros, (c,))
+        hidden = group_norm(x, 32, scale, bias, eps=1e-6).reshape(bt, h * w, c)
+        hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)
+        for i in range(self.depth):
+            hidden = LVDMTransformerBlock(
+                c, self.heads, self.dim_head, self.context_dim,
+                image_branch=self.image_branch,
+                image_scale_learnable=self.image_scale_learnable,
+                action_branch=self.action_branch,
+                action_scale_learnable=self.action_scale_learnable,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(hidden, context=context)
+        hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
+        return hidden.reshape(bt, h, w, c) + residual
+
+
+class TemporalTransformer3D(nn.Module):
+    """Per-pixel temporal self-attention (reference ``attention.py:395-445``;
+    only_self_att=True in the shipped configs)."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int):
+        bt, h, w, c = x.shape
+        b = bt // num_frames
+        residual = x
+        scale = self.param("norm_scale", nn.initializers.ones, (c,))
+        bias = self.param("norm_bias", nn.initializers.zeros, (c,))
+        hidden = group_norm(x, 32, scale, bias, eps=1e-6)
+        # [(b t), h, w, c] -> [(b h w), t, c]
+        hidden = hidden.reshape(b, num_frames, h * w, c).transpose(0, 2, 1, 3)
+        hidden = hidden.reshape(b * h * w, num_frames, c)
+        hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)
+        for i in range(self.depth):
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"blocks_{i}_norm1")
+            attn = LVDMCrossAttention(
+                c, None, self.heads, self.dim_head, dtype=self.dtype, name=f"blocks_{i}_attn1"
+            )
+            hidden = hidden + attn(ln(hidden))
+            ln3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"blocks_{i}_norm3")
+            hidden = hidden + GEGLUFeedForward(c, dtype=self.dtype, name=f"blocks_{i}_ff")(ln3(hidden))
+        hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
+        hidden = hidden.reshape(b, h * w, num_frames, c).transpose(0, 2, 1, 3)
+        return hidden.reshape(bt, h, w, c) + residual
+
+
+class TemporalConvBlock(nn.Module):
+    """(3,1,1) temporal conv stack with zero-init last conv
+    (lvdm TemporalConvBlock; enabled via ``temporal_conv: true``)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int):
+        bt, h, w, c = x.shape
+        b = bt // num_frames
+        xt = x.reshape(b, num_frames, h, w, c)
+        residual = xt
+        s1 = self.param("norm1_scale", nn.initializers.ones, (c,))
+        b1 = self.param("norm1_bias", nn.initializers.zeros, (c,))
+        hid = group_norm(xt, 32, s1, b1, act="silu")
+        hid = nn.Conv(
+            c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)), dtype=self.dtype, name="conv1"
+        )(hid)
+        s2 = self.param("norm2_scale", nn.initializers.ones, (c,))
+        b2 = self.param("norm2_bias", nn.initializers.zeros, (c,))
+        hid = group_norm(hid, 32, s2, b2, act="silu")
+        hid = nn.Conv(
+            c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+            kernel_init=nn.initializers.zeros, dtype=self.dtype, name="conv2",
+        )(hid)
+        return (residual + hid).reshape(bt, h, w, c)
+
+
+class LVDMResBlock(nn.Module):
+    """lvdm ResBlock: GN-SiLU-conv x2 with additive time embedding, optional
+    trailing temporal conv block."""
+
+    out_channels: int
+    temb_dim: int
+    temporal_conv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, num_frames: int):
+        in_ch = x.shape[-1]
+        residual = x
+        s1 = self.param("norm1_scale", nn.initializers.ones, (in_ch,))
+        b1 = self.param("norm1_bias", nn.initializers.zeros, (in_ch,))
+        h = group_norm(x, 32, s1, b1, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        h = h + t[:, None, None, :]
+        s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
+        b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
+        h = group_norm(h, 32, s2, b2, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(residual)
+        h = h + residual
+        if self.temporal_conv:
+            h = TemporalConvBlock(self.out_channels, dtype=self.dtype, name="temporal")(h, num_frames)
+        return h
+
+
+class UNet3D(nn.Module):
+    in_channels: int = 8
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_head_channels: int = 64
+    transformer_depth: int = 1
+    context_dim: int = 1024
+    temporal_conv: bool = True
+    temporal_attention: bool = True
+    addition_attention: bool = True
+    image_cross_attention: bool = True
+    image_scale_learnable: bool = False
+    action_cross_attention: bool = False
+    action_scale_learnable: bool = False
+    default_fs: int = 10
+    fs_condition: bool = True
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        context: dict,
+        fs: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """x: [b, t, h, w, in_ch]; context: {prompt [b,77,C], image [b,t*l,C],
+        action [b,la,C]}; returns [b, t, h, w, out_ch]."""
+        b, t, h, w, _ = x.shape
+        ch0 = self.model_channels
+        temb_dim = ch0 * 4
+
+        t_emb = Timesteps(ch0, flip_sin_to_cos=True)(
+            jnp.broadcast_to(jnp.asarray(timesteps), (b,))
+        ).astype(self.dtype)
+        emb = TimestepEmbedding(temb_dim, dtype=self.dtype, name="time_embed")(t_emb)
+        if self.fs_condition:
+            if fs is None:
+                fs = jnp.full((b,), self.default_fs, jnp.float32)
+            fs_emb = Timesteps(ch0, flip_sin_to_cos=True)(
+                jnp.broadcast_to(jnp.asarray(fs), (b,))
+            ).astype(self.dtype)
+            emb = emb + TimestepEmbedding(temb_dim, dtype=self.dtype, name="fps_embedding")(fs_emb)
+        emb = jnp.repeat(emb, t, axis=0)  # [(b t), temb]
+
+        # per-frame context dict (reference openaimodel3d.py:586-594)
+        ctx = {}
+        if context.get("prompt") is not None:
+            ctx["prompt"] = jnp.repeat(context["prompt"], t, axis=0)
+        if context.get("image") is not None:
+            img = context["image"]
+            li = img.shape[1] // t
+            ctx["image"] = img.reshape(b * t, li, img.shape[-1])
+        if context.get("action") is not None:
+            act = context["action"]
+            r = (b * t) // act.shape[0]
+            ctx["action"] = jnp.repeat(act, r, axis=0)
+
+        xf = x.reshape(b * t, h, w, x.shape[-1])
+
+        def res(out_ch, name):
+            return LVDMResBlock(
+                out_ch, temb_dim, self.temporal_conv, dtype=self.dtype, name=name
+            )
+
+        def spatial(ch, name):
+            heads = ch // self.num_head_channels
+            return SpatialTransformer3D(
+                ch, heads, self.num_head_channels, self.context_dim,
+                self.transformer_depth,
+                image_branch=self.image_cross_attention,
+                image_scale_learnable=self.image_scale_learnable,
+                action_branch=self.action_cross_attention,
+                action_scale_learnable=self.action_scale_learnable,
+                dtype=self.dtype, name=name,
+            )
+
+        def temporal(ch, name):
+            heads = ch // self.num_head_channels
+            return TemporalTransformer3D(
+                ch, heads, self.num_head_channels, self.transformer_depth,
+                dtype=self.dtype, name=name,
+            )
+
+        hidden = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(xf)
+        if self.addition_attention:
+            hidden = TemporalTransformer3D(
+                ch0, 8, self.num_head_channels, 1, dtype=self.dtype, name="init_attn"
+            )(hidden, t)
+        residuals = [hidden]
+        ds = 1
+
+        # down path
+        for level, mult in enumerate(self.channel_mult):
+            ch = ch0 * mult
+            for i in range(self.num_res_blocks):
+                hidden = res(ch, f"input_{level}_{i}_res")(hidden, emb, t)
+                if ds in self.attention_resolutions:
+                    hidden = spatial(ch, f"input_{level}_{i}_spatial")(hidden, ctx)
+                    if self.temporal_attention:
+                        hidden = temporal(ch, f"input_{level}_{i}_temporal")(hidden, t)
+                residuals.append(hidden)
+            if level != len(self.channel_mult) - 1:
+                hidden = jnp.pad(hidden, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                hidden = nn.Conv(
+                    ch, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
+                    name=f"input_{level}_down",
+                )(hidden)
+                residuals.append(hidden)
+                ds *= 2
+
+        # mid
+        ch = ch0 * self.channel_mult[-1]
+        hidden = res(ch, "middle_res_0")(hidden, emb, t)
+        hidden = spatial(ch, "middle_spatial")(hidden, ctx)
+        if self.temporal_attention:
+            hidden = temporal(ch, "middle_temporal")(hidden, t)
+        hidden = res(ch, "middle_res_1")(hidden, emb, t)
+
+        # up path
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            ch = ch0 * mult
+            for i in range(self.num_res_blocks + 1):
+                skip = residuals.pop()
+                hidden = jnp.concatenate([hidden, skip], axis=-1)
+                hidden = res(ch, f"output_{level}_{i}_res")(hidden, emb, t)
+                if ds in self.attention_resolutions:
+                    hidden = spatial(ch, f"output_{level}_{i}_spatial")(hidden, ctx)
+                    if self.temporal_attention:
+                        hidden = temporal(ch, f"output_{level}_{i}_temporal")(hidden, t)
+                if level and i == self.num_res_blocks:
+                    bt_, hh, ww, cc = hidden.shape
+                    hidden = jax.image.resize(
+                        hidden, (bt_, hh * 2, ww * 2, cc), method="nearest"
+                    )
+                    hidden = nn.Conv(
+                        ch, (3, 3), padding=1, dtype=self.dtype, name=f"output_{level}_up"
+                    )(hidden)
+                    ds //= 2
+
+        s = self.param("out_norm_scale", nn.initializers.ones, (hidden.shape[-1],))
+        bb = self.param("out_norm_bias", nn.initializers.zeros, (hidden.shape[-1],))
+        hidden = group_norm(hidden, 32, s, bb, act="silu")
+        hidden = nn.Conv(
+            self.out_channels, (3, 3), padding=1, kernel_init=nn.initializers.zeros,
+            dtype=self.dtype, name="conv_out",
+        )(hidden)
+        return hidden.reshape(b, t, h, w, self.out_channels)

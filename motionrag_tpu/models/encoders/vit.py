@@ -146,6 +146,7 @@ class VisionTransformer(nn.Module):
                 tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(tokens)
 
         hidden = tokens
+        penult = tokens  # depth<2 degenerate case: embeddings themselves
         for i in range(self.depth):
             hidden = ViTBlock(
                 self.dim, self.heads, self.mlp_ratio,

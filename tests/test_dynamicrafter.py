@@ -1,0 +1,162 @@
+"""DynamiCrafter stack tests at tiny sizes: UNet3D forward with context
+dict + branches, schedule identities + dynamic rescale, training loss,
+end-to-end pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionrag_tpu.models.dynamicrafter.ddim import LVDMSchedule
+from motionrag_tpu.models.dynamicrafter.module import (
+    DynamiCrafterActionModule,
+    DynamiCrafterModule,
+)
+from motionrag_tpu.models.dynamicrafter.unet3d import UNet3D
+from motionrag_tpu.models.dynamicrafter.vae import AutoencoderKL2D
+from motionrag_tpu.models.encoders.clip_text import CLIPTextEncoder
+from motionrag_tpu.models.encoders.condition import CLIPImageEmbedder, VideoMAEEmbedder
+from motionrag_tpu.models.resampler import Resampler
+
+
+def tiny_unet(**kw):
+    kw.setdefault("model_channels", 32)
+    kw.setdefault("channel_mult", (1, 2))
+    kw.setdefault("num_res_blocks", 1)
+    kw.setdefault("attention_resolutions", (1, 2))
+    kw.setdefault("num_head_channels", 16)
+    kw.setdefault("context_dim", 32)
+    kw.setdefault("dtype", jnp.float32)
+    return UNet3D(**kw)
+
+
+def test_unet3d_forward_and_branches():
+    unet = tiny_unet(action_cross_attention=True)
+    b, t, h, w = 1, 4, 16, 16
+    x = jnp.ones((b, t, h, w, 8)) * 0.1
+    ctx = {
+        "prompt": jnp.ones((b, 7, 32)) * 0.2,
+        "image": jnp.ones((b, t * 3, 32)) * 0.3,
+        "action": jnp.ones((b, 5, 32)) * 0.4,
+    }
+    params = unet.init(jax.random.key(0), x, jnp.zeros((b,)), ctx)
+    # conv_out is zero-init (lvdm zero_module) -> randomize so effects show
+    kernel = params["params"]["conv_out"]["kernel"]
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    params["params"]["conv_out"]["kernel"] = jax.random.normal(
+        jax.random.key(9), kernel.shape
+    ) * 0.1
+    out = unet.apply(params, x, jnp.asarray([500.0]), ctx)
+    assert out.shape == (b, t, h, w, 4)
+
+    # action branch changes output
+    ctx2 = dict(ctx, action=-ctx["action"])
+    out2 = unet.apply(params, x, jnp.asarray([500.0]), ctx2)
+    assert not np.allclose(np.asarray(out), np.asarray(out2), atol=1e-7)
+
+    # image branch changes output
+    ctx3 = dict(ctx, image=ctx["image"] * 3)
+    out3 = unet.apply(params, x, jnp.asarray([500.0]), ctx3)
+    assert not np.allclose(np.asarray(out), np.asarray(out3), atol=1e-7)
+
+    # fs conditioning changes output
+    out4 = unet.apply(params, x, jnp.asarray([500.0]), ctx, fs=jnp.asarray([3.0]))
+    assert not np.allclose(np.asarray(out), np.asarray(out4), atol=1e-7)
+
+
+def test_lvdm_schedule_identities():
+    sch = LVDMSchedule(rescale_betas_zero_snr=True, use_dynamic_rescale=True, base_scale=0.3)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 4, 4, 2)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal(x0.shape), jnp.float32)
+    t = jnp.asarray([50, 800])
+    # v-param roundtrip WITHOUT rescale: q_sample applies scale to x0
+    x_noisy = sch.q_sample(x0, noise, t)
+    a = sch.alphas_cumprod[t].reshape(2, 1, 1, 1, 1)
+    s = sch.scale_arr[t].reshape(2, 1, 1, 1, 1)
+    v = sch.get_v(x0 * s, noise, t)
+    x0_rec = sch.predict_x0_from_v(x_noisy, v, a)
+    eps_rec = sch.predict_eps_from_v(x_noisy, v, a)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0 * s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(noise), atol=1e-5)
+    # zero terminal SNR
+    acp = np.asarray(sch.alphas_cumprod)
+    assert acp[-1] < 1e-6
+    # dynamic rescale ramps 1 -> 0.3 then constant
+    arr = np.asarray(sch.scale_arr)
+    assert arr[0] == 1.0 and arr[399] == pytest.approx(0.3) and arr[-1] == pytest.approx(0.3)
+    # trailing spacing covers the terminal step
+    ts = sch.ddim_timesteps(10)
+    assert ts[-1] == 999
+
+
+def tiny_module(cls=DynamiCrafterModule, **kw):
+    return cls(
+        unet=kw.pop("unet", tiny_unet(action_cross_attention=cls is not DynamiCrafterModule)),
+        vae=AutoencoderKL2D(block_out_channels=(32, 32, 32, 32), dtype=jnp.float32),
+        text_encoder=CLIPTextEncoder(vocab_size=100, max_length=16, dim=32, depth=2,
+                                     heads=2, dtype=jnp.float32),
+        image_encoder=CLIPImageEmbedder(image_size=28, patch_size=14, dim=32, depth=1,
+                                        heads=2, pooled=False, dtype=jnp.float32),
+        image_proj=Resampler(dim=32, depth=1, dim_head=8, heads=4, num_queries=3,
+                             embedding_dim=32, output_dim=32, video_length=4),
+        dtype=jnp.float32,
+        **kw,
+    )
+
+
+def make_batch(b=1, f=4, h=32, w=32, k=2):
+    rng = np.random.default_rng(0)
+    return {
+        "video": jnp.asarray(rng.uniform(-1, 1, (b, f, 3, h, w)), jnp.float32),
+        "ref_videos": jnp.asarray(rng.uniform(-1, 1, (b, k, f, 3, h, w)), jnp.float32),
+        "prompt_ids": jnp.asarray(rng.integers(0, 100, (b, 16)), jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def dc_setup():
+    module = tiny_module()
+    batch = make_batch()
+    params = module.init_params(jax.random.key(0), batch)
+    return module, params, batch
+
+
+def test_dynamicrafter_training_loss(dc_setup):
+    module, params, batch = dc_setup
+    loss, _ = jax.jit(module.loss)(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+
+
+def test_dynamicrafter_pipeline(dc_setup):
+    module, params, batch = dc_setup
+    frames = module.eval_pipeline(
+        params, batch, jax.random.key(2),
+        num_frames=4, height=32, width=32, ddim_steps=2,
+    )
+    assert frames.shape == (1, 4, 3, 32, 32)
+    assert np.isfinite(np.asarray(frames)).all()
+
+
+def test_dynamicrafter_action_module():
+    module = tiny_module(
+        DynamiCrafterActionModule,
+        action_embedder=VideoMAEEmbedder(num_frames=4, image_size=32, dim=32, depth=1,
+                                         heads=2, dtype=jnp.float32),
+        action_proj=Resampler(dim=32, depth=1, dim_head=8, heads=4, num_queries=4,
+                              embedding_dim=32, output_dim=32),
+        action_uncond_prob=0.0,
+    )
+    batch = make_batch()
+    params = module.init_params(jax.random.key(0), batch)
+    # conv_out is zero-init -> prediction is 0 and conditioning cannot show;
+    # randomize it so the action path reaches the loss
+    kernel = params["unet"]["params"]["conv_out"]["kernel"]
+    params["unet"]["params"]["conv_out"]["kernel"] = (
+        jax.random.normal(jax.random.key(9), kernel.shape) * 0.1
+    )
+    loss, _ = module.loss(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    batch2 = dict(batch, ref_videos=batch["ref_videos"] * -1)
+    loss2, _ = module.loss(params, batch2, jax.random.key(1))
+    assert float(loss) != float(loss2)
