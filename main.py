@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""CLI entry: ``python main.py {fit,test} -c configs/<family>/<name>.yml``
+with dotted overrides (``--data.train_batch_size=2``) — the same public
+surface as the reference's LightningCLI (reference ``main.py:7-16``),
+resolved by our class_path instantiation layer (motionrag_tpu/config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_from_config(cfg: dict):
+    from motionrag_tpu.config import instantiate, instantiate_tree
+
+    model = instantiate(cfg["model"])
+    data = instantiate(cfg["data"])
+
+    trainer_cfg = dict(cfg.get("trainer") or {})
+    callbacks = [instantiate_tree(cb) if isinstance(cb, dict) else cb
+                 for cb in trainer_cfg.pop("callbacks", [])]
+    from motionrag_tpu.training.trainer import Trainer
+
+    trainer = Trainer(callbacks=callbacks, **trainer_cfg)
+    return model, data, trainer
+
+
+def cli_main(argv=None, run: bool = True):
+    ap = argparse.ArgumentParser(description="motionrag-tpu")
+    ap.add_argument("subcommand", choices=["fit", "test", "validate"], nargs="?")
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--ckpt_path", default=None)
+    args, overrides = ap.parse_known_args(argv)
+
+    from motionrag_tpu.config import apply_overrides, load_yaml
+
+    cfg = load_yaml(args.config)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    seed = cfg.get("seed_everything")
+    if seed is not None:
+        import random
+
+        import numpy as np
+
+        random.seed(seed)
+        np.random.seed(seed)
+
+    model, data, trainer = build_from_config(cfg)
+    ckpt = args.ckpt_path or cfg.get("ckpt_path")
+    if not run:
+        return model, data, trainer, ckpt
+
+    if args.subcommand == "fit":
+        trainer.fit(model, data, ckpt_path=ckpt)
+    elif args.subcommand in ("test", "validate"):
+        trainer.test(model, data, ckpt_path=ckpt)
+    else:
+        ap.error("subcommand required (fit/test)")
+
+
+if __name__ == "__main__":
+    cli_main(sys.argv[1:])

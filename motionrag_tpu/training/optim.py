@@ -56,17 +56,28 @@ def pattern_tokens(pattern: str) -> list[str]:
 
 
 def pattern_matches(param_path: list[str], pattern: str) -> bool:
-    """Prefix match of pattern tokens against the param path tokens."""
-    ptoks = pattern_tokens(pattern)
-    i = 0
-    for tok in ptoks:
+    """Prefix match of pattern tokens against the param path tokens.
+
+    Special tokens:
+      - ``processor`` (trailing): matches iff an adapter-branch param
+        (to_q_ip/to_k_ip/to_v_ip) appears later in the path — the reference's
+        APAdapter processor owns exactly those weights;
+      - ``*``: matches any (possibly empty) run of path tokens, so
+        ``unet.*.to_q_a`` selects every action-branch query kernel.
+    """
+    def match(pi: int, qi: int, ptoks) -> bool:
+        if qi == len(ptoks):
+            return True  # pattern exhausted -> prefix matched
+        tok = ptoks[qi]
         if tok == "processor":
-            # matches iff one of the remaining tokens is an adapter param
-            return any(t in ADAPTER_PARAM_NAMES for t in param_path[i:])
-        if i >= len(param_path) or param_path[i] != tok:
+            return any(t in ADAPTER_PARAM_NAMES for t in param_path[pi:])
+        if tok == "*":
+            return any(match(k, qi + 1, ptoks) for k in range(pi, len(param_path) + 1))
+        if pi >= len(param_path) or param_path[pi] != tok:
             return False
-        i += 1
-    return True
+        return match(pi + 1, qi + 1, ptoks)
+
+    return match(0, 0, pattern_tokens(pattern))
 
 
 def trainable_mask(params, patterns: Iterable[str]):

@@ -239,6 +239,25 @@ class Trainer:
         loader = (
             datamodule.val_dataloader() if stage == "val" else datamodule.test_dataloader()
         )
+        if not hasattr(module, "eval_pipeline"):
+            # loss-based evaluation (e.g. standalone CT training, reference
+            # condition/module.py:340-351)
+            rng = jax.random.key(self.seed + 1)
+            sums: dict[str, float] = {}
+            n = 0
+            loss_fn = getattr(module, "validation_loss", module.loss)
+            for i, batch in enumerate(loader):
+                if limit is not None and i >= limit:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                loss, metrics = loss_fn(state.params, self._shard_batch(batch), step_rng)
+                for k, v in {**metrics, f"{stage}/loss": loss}.items():
+                    sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
+                n += 1
+            results = {k: v / max(n, 1) for k, v in sums.items()}
+            if results:
+                self.logger.log(results, int(jax.device_get(state.step)))
+            return results
         generated, ground_truth, prompts = [], [], []
         rng = jax.random.key(self.seed + 1)
         for i, batch in enumerate(loader):
