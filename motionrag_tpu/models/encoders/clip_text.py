@@ -27,6 +27,7 @@ class CLIPTextEncoder(nn.Module):
     dim: int = 1024
     depth: int = 24
     heads: int = 16
+    mlp_ratio: float = 4.0
     projection_dim: int = 1024
     use_quick_gelu: bool = False  # OpenCLIP-H uses plain gelu
     dtype: jnp.dtype = jnp.float32
@@ -81,7 +82,7 @@ def _block(parent: CLIPTextEncoder, i: int):
             ).reshape(b, s, c)
             x = x + nn.Dense(c, dtype=self.dtype, name="proj")(attn)
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
-            h = nn.Dense(4 * c, dtype=self.dtype, name="fc1")(h)
+            h = nn.Dense(int(parent.mlp_ratio * c), dtype=self.dtype, name="fc1")(h)
             if parent.use_quick_gelu:
                 h = h * nn.sigmoid(1.702 * h)
             else:

@@ -43,13 +43,14 @@ class ViTBlock(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     layerscale_init: Optional[float] = None
+    ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, s, c = x.shape
         head_dim = c // self.heads
-        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name=name)
 
         h = ln("norm1")(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)
@@ -98,7 +99,15 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     projection_dim: Optional[int] = None
     layerscale_init: Optional[float] = None
+    ln_eps: Optional[float] = None  # default per variant
     dtype: jnp.dtype = jnp.float32
+
+    @property
+    def _ln_eps(self) -> float:
+        if self.ln_eps is not None:
+            return self.ln_eps
+        # HF defaults: VideoMAE 1e-12, DINOv2 1e-6, CLIP 1e-5
+        return {"videomae": 1e-12, "dino": 1e-6, "clip": 1e-5}[self.variant]
 
     @nn.compact
     def __call__(self, x, return_pooled: bool = False, penultimate: bool = False):
@@ -114,12 +123,12 @@ class VisionTransformer(nn.Module):
                 name="patch_embed",
             )(x)
             tokens = x.reshape(b, -1, self.dim)
-            grid = self.image_size // self.patch_size
-            t_grid = self.num_frames // self.tubelet_size
-            pos2d = sincos_pos_embed_2d(self.dim, grid, grid)
-            post = sincos_pos_embed_1d(self.dim, np.arange(t_grid))
-            pos = (pos2d[None, :, :] + post[:, None, :]).reshape(1, -1, self.dim)
-            tokens = tokens + jnp.asarray(pos, tokens.dtype)
+            # HF VideoMAE fixed table: interleaved sin/cos over the flat
+            # (t/2 * h/p * w/p) token sequence
+            from motionrag_tpu.ops.posemb import sinusoid_table
+
+            pos = sinusoid_table(tokens.shape[1], self.dim)
+            tokens = tokens + pos[None].astype(tokens.dtype)
         else:
             # x: [b, c, h, w] (torch layout in, converted to NHWC)
             b = x.shape[0]
@@ -150,7 +159,7 @@ class VisionTransformer(nn.Module):
         for i in range(self.depth):
             hidden = ViTBlock(
                 self.dim, self.heads, self.mlp_ratio,
-                self.layerscale_init, self.dtype, name=f"blocks_{i}",
+                self.layerscale_init, self._ln_eps, self.dtype, name=f"blocks_{i}",
             )(hidden)
             if penultimate and i == self.depth - 2:
                 penult = hidden
@@ -158,8 +167,7 @@ class VisionTransformer(nn.Module):
         if penultimate:
             return penult
 
-        eps = 1e-5 if self.variant == "clip" else 1e-6
-        out = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="ln_post")(hidden)
+        out = nn.LayerNorm(epsilon=self._ln_eps, dtype=self.dtype, name="ln_post")(hidden)
         if self.variant == "clip" and (return_pooled or self.projection_dim):
             pooled = out[:, 0]
             if self.projection_dim:

@@ -1,0 +1,266 @@
+"""HF/torch checkpoint -> Flax param-tree converters.
+
+Each converter maps a torch ``state_dict`` (HF transformers naming) onto the
+parameter structure of our modules, verified by golden forward-parity tests
+against randomly-initialized HF models (tests/test_porting.py). This is the
+weight-porting layer SURVEY.md §7 lists as the biggest fidelity risk; the
+production CogVideoX/SVD/DynamiCrafter checkpoints flow through the same
+mappings.
+
+Conventions: torch Linear weight [out, in] -> flax kernel [in, out] (transpose);
+torch ConvNd weight [out, in, *k] -> flax [*k, in, out].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "port_videomae",
+    "port_dinov2",
+    "port_clip_vision",
+    "port_clip_text",
+    "port_t5_encoder",
+]
+
+
+def _t(w):
+    return np.asarray(w).T
+
+
+def _conv(w):
+    """torch conv [out, in, *k] -> flax [*k, in, out]."""
+    w = np.asarray(w)
+    dims = list(range(w.ndim))
+    return w.transpose(dims[2:] + [1, 0])
+
+
+def _np(sd, key):
+    v = sd[key]
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
+def port_videomae(sd: dict, depth: int) -> dict:
+    """HF VideoMAEModel state_dict -> VisionTransformer(variant='videomae')
+    params['params'] tree."""
+    dim = np.asarray(sd["embeddings.patch_embeddings.projection.bias"]).shape[0]
+    p = {
+        "patch_embed": {
+            "kernel": _conv(_np(sd, "embeddings.patch_embeddings.projection.weight")),
+            "bias": _np(sd, "embeddings.patch_embeddings.projection.bias"),
+        },
+        # use_mean_pooling checkpoints carry no final LN -> identity
+        "ln_post": {
+            "scale": _np(sd, "layernorm.weight") if "layernorm.weight" in sd else np.ones(dim, np.float32),
+            "bias": _np(sd, "layernorm.bias") if "layernorm.bias" in sd else np.zeros(dim, np.float32),
+        },
+    }
+    for i in range(depth):
+        pre = f"encoder.layer.{i}"
+        q_w = _t(_np(sd, f"{pre}.attention.attention.query.weight"))
+        k_w = _t(_np(sd, f"{pre}.attention.attention.key.weight"))
+        v_w = _t(_np(sd, f"{pre}.attention.attention.value.weight"))
+        q_b = _np(sd, f"{pre}.attention.attention.q_bias")
+        v_b = _np(sd, f"{pre}.attention.attention.v_bias")
+        # key has no bias in VideoMAE; zero is score-invariant under softmax
+        k_b = np.zeros_like(q_b)
+        p[f"blocks_{i}"] = {
+            "norm1": {
+                "scale": _np(sd, f"{pre}.layernorm_before.weight"),
+                "bias": _np(sd, f"{pre}.layernorm_before.bias"),
+            },
+            "qkv": {
+                "kernel": np.concatenate([q_w, k_w, v_w], axis=1),
+                "bias": np.concatenate([q_b, k_b, v_b]),
+            },
+            "proj": {
+                "kernel": _t(_np(sd, f"{pre}.attention.output.dense.weight")),
+                "bias": _np(sd, f"{pre}.attention.output.dense.bias"),
+            },
+            "norm2": {
+                "scale": _np(sd, f"{pre}.layernorm_after.weight"),
+                "bias": _np(sd, f"{pre}.layernorm_after.bias"),
+            },
+            "fc1": {
+                "kernel": _t(_np(sd, f"{pre}.intermediate.dense.weight")),
+                "bias": _np(sd, f"{pre}.intermediate.dense.bias"),
+            },
+            "fc2": {
+                "kernel": _t(_np(sd, f"{pre}.output.dense.weight")),
+                "bias": _np(sd, f"{pre}.output.dense.bias"),
+            },
+        }
+    return {"params": p}
+
+
+def port_dinov2(sd: dict, depth: int) -> dict:
+    """HF Dinov2Model state_dict -> VisionTransformer(variant='dino')."""
+    p = {
+        "cls_token": _np(sd, "embeddings.cls_token"),
+        "pos_embed": _np(sd, "embeddings.position_embeddings"),
+        "patch_embed": {
+            "kernel": _conv(_np(sd, "embeddings.patch_embeddings.projection.weight")),
+            "bias": _np(sd, "embeddings.patch_embeddings.projection.bias"),
+        },
+        "ln_post": {
+            "scale": _np(sd, "layernorm.weight"),
+            "bias": _np(sd, "layernorm.bias"),
+        },
+    }
+    for i in range(depth):
+        pre = f"encoder.layer.{i}"
+        qkv_w = np.concatenate(
+            [_t(_np(sd, f"{pre}.attention.attention.{n}.weight")) for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [_np(sd, f"{pre}.attention.attention.{n}.bias") for n in ("query", "key", "value")]
+        )
+        p[f"blocks_{i}"] = {
+            "norm1": {"scale": _np(sd, f"{pre}.norm1.weight"), "bias": _np(sd, f"{pre}.norm1.bias")},
+            "qkv": {"kernel": qkv_w, "bias": qkv_b},
+            "proj": {
+                "kernel": _t(_np(sd, f"{pre}.attention.output.dense.weight")),
+                "bias": _np(sd, f"{pre}.attention.output.dense.bias"),
+            },
+            "ls1": _np(sd, f"{pre}.layer_scale1.lambda1"),
+            "norm2": {"scale": _np(sd, f"{pre}.norm2.weight"), "bias": _np(sd, f"{pre}.norm2.bias")},
+            "fc1": {
+                "kernel": _t(_np(sd, f"{pre}.mlp.fc1.weight")),
+                "bias": _np(sd, f"{pre}.mlp.fc1.bias"),
+            },
+            "fc2": {
+                "kernel": _t(_np(sd, f"{pre}.mlp.fc2.weight")),
+                "bias": _np(sd, f"{pre}.mlp.fc2.bias"),
+            },
+            "ls2": _np(sd, f"{pre}.layer_scale2.lambda1"),
+        }
+    return {"params": p}
+
+
+def port_clip_vision(sd: dict, depth: int, with_projection: bool = True) -> dict:
+    """HF CLIPVisionModel(WithProjection) -> VisionTransformer(variant='clip')."""
+    pre0 = "vision_model."
+    p = {
+        "cls_token": _np(sd, pre0 + "embeddings.class_embedding").reshape(1, 1, -1),
+        "pos_embed": _np(sd, pre0 + "embeddings.position_embedding.weight")[None],
+        "patch_embed": {
+            "kernel": _conv(_np(sd, pre0 + "embeddings.patch_embedding.weight")),
+        },
+        "ln_pre": {
+            "scale": _np(sd, pre0 + "pre_layrnorm.weight"),
+            "bias": _np(sd, pre0 + "pre_layrnorm.bias"),
+        },
+        "ln_post": {
+            "scale": _np(sd, pre0 + "post_layernorm.weight"),
+            "bias": _np(sd, pre0 + "post_layernorm.bias"),
+        },
+    }
+    if with_projection:
+        p["visual_projection"] = {"kernel": _t(_np(sd, "visual_projection.weight"))}
+    for i in range(depth):
+        pre = f"{pre0}encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(_np(sd, f"{pre}.self_attn.{n}_proj.weight")) for n in ("q", "k", "v")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [_np(sd, f"{pre}.self_attn.{n}_proj.bias") for n in ("q", "k", "v")]
+        )
+        p[f"blocks_{i}"] = {
+            "norm1": {
+                "scale": _np(sd, f"{pre}.layer_norm1.weight"),
+                "bias": _np(sd, f"{pre}.layer_norm1.bias"),
+            },
+            "qkv": {"kernel": qkv_w, "bias": qkv_b},
+            "proj": {
+                "kernel": _t(_np(sd, f"{pre}.self_attn.out_proj.weight")),
+                "bias": _np(sd, f"{pre}.self_attn.out_proj.bias"),
+            },
+            "norm2": {
+                "scale": _np(sd, f"{pre}.layer_norm2.weight"),
+                "bias": _np(sd, f"{pre}.layer_norm2.bias"),
+            },
+            "fc1": {
+                "kernel": _t(_np(sd, f"{pre}.mlp.fc1.weight")),
+                "bias": _np(sd, f"{pre}.mlp.fc1.bias"),
+            },
+            "fc2": {
+                "kernel": _t(_np(sd, f"{pre}.mlp.fc2.weight")),
+                "bias": _np(sd, f"{pre}.mlp.fc2.bias"),
+            },
+        }
+    return {"params": p}
+
+
+def port_clip_text(sd: dict, depth: int, with_projection: bool = False) -> dict:
+    """HF CLIPTextModel(WithProjection) -> CLIPTextEncoder params."""
+    pre0 = "text_model."
+    p = {
+        "token_embedding": _np(sd, pre0 + "embeddings.token_embedding.weight"),
+        "positional_embedding": _np(sd, pre0 + "embeddings.position_embedding.weight"),
+        "ln_final": {
+            "scale": _np(sd, pre0 + "final_layer_norm.weight"),
+            "bias": _np(sd, pre0 + "final_layer_norm.bias"),
+        },
+    }
+    if with_projection:
+        p["text_projection"] = {"kernel": _t(_np(sd, "text_projection.weight"))}
+    for i in range(depth):
+        pre = f"{pre0}encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [_t(_np(sd, f"{pre}.self_attn.{n}_proj.weight")) for n in ("q", "k", "v")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [_np(sd, f"{pre}.self_attn.{n}_proj.bias") for n in ("q", "k", "v")]
+        )
+        p[f"blocks_{i}"] = {
+            "ln_1": {
+                "scale": _np(sd, f"{pre}.layer_norm1.weight"),
+                "bias": _np(sd, f"{pre}.layer_norm1.bias"),
+            },
+            "qkv": {"kernel": qkv_w, "bias": qkv_b},
+            "proj": {
+                "kernel": _t(_np(sd, f"{pre}.self_attn.out_proj.weight")),
+                "bias": _np(sd, f"{pre}.self_attn.out_proj.bias"),
+            },
+            "ln_2": {
+                "scale": _np(sd, f"{pre}.layer_norm2.weight"),
+                "bias": _np(sd, f"{pre}.layer_norm2.bias"),
+            },
+            "fc1": {
+                "kernel": _t(_np(sd, f"{pre}.mlp.fc1.weight")),
+                "bias": _np(sd, f"{pre}.mlp.fc1.bias"),
+            },
+            "fc2": {
+                "kernel": _t(_np(sd, f"{pre}.mlp.fc2.weight")),
+                "bias": _np(sd, f"{pre}.mlp.fc2.bias"),
+            },
+        }
+    return {"params": p}
+
+
+def port_t5_encoder(sd: dict, depth: int) -> dict:
+    """HF T5EncoderModel -> T5Encoder params."""
+    p = {
+        "token_embedding": _np(sd, "shared.weight"),
+        "relative_attention_bias": _np(
+            sd, "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ),
+        "final_ln_scale": _np(sd, "encoder.final_layer_norm.weight"),
+    }
+    for i in range(depth):
+        pre = f"encoder.block.{i}"
+        p[f"blocks_{i}"] = {
+            "ln1_scale": _np(sd, f"{pre}.layer.0.layer_norm.weight"),
+            "attn": {
+                "q": {"kernel": _t(_np(sd, f"{pre}.layer.0.SelfAttention.q.weight"))},
+                "k": {"kernel": _t(_np(sd, f"{pre}.layer.0.SelfAttention.k.weight"))},
+                "v": {"kernel": _t(_np(sd, f"{pre}.layer.0.SelfAttention.v.weight"))},
+                "o": {"kernel": _t(_np(sd, f"{pre}.layer.0.SelfAttention.o.weight"))},
+            },
+            "ln2_scale": _np(sd, f"{pre}.layer.1.layer_norm.weight"),
+            "wi_0": {"kernel": _t(_np(sd, f"{pre}.layer.1.DenseReluDense.wi_0.weight"))},
+            "wi_1": {"kernel": _t(_np(sd, f"{pre}.layer.1.DenseReluDense.wi_1.weight"))},
+            "wo": {"kernel": _t(_np(sd, f"{pre}.layer.1.DenseReluDense.wo.weight"))},
+        }
+    return {"params": p}
