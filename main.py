@@ -49,6 +49,15 @@ def cli_main(argv=None, run: bool = True):
 
     model, data, trainer = build_from_config(cfg)
     ckpt = args.ckpt_path or cfg.get("ckpt_path")
+    # save the resolved config into the run dir (reference
+    # WandbSaveConfigCallback, src/utils/logger.py:8-50)
+    try:
+        import yaml as _yaml
+
+        trainer.root_dir.mkdir(parents=True, exist_ok=True)
+        (trainer.root_dir / "config.yml").write_text(_yaml.safe_dump(cfg))
+    except Exception:  # noqa: BLE001
+        pass
     if not run:
         return model, data, trainer, ckpt
 

@@ -22,7 +22,15 @@ import numpy as np
 from motionrag_tpu.models.encoders.vit import VisionTransformer
 from motionrag_tpu.utils.pipeline import resize_with_antialiasing
 
-__all__ = ["VideoMAEEmbedder", "DINOImageEmbedder", "CLIPImageEmbedder", "preprocess_frames"]
+__all__ = [
+    "VideoMAEEmbedder",
+    "VideoMAE2Embedder",
+    "DINOImageEmbedder",
+    "CLIPImageEmbedder",
+    "IdentityEncoder",
+    "ClassEmbedder",
+    "preprocess_frames",
+]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -86,6 +94,37 @@ class VideoMAEEmbedder(nn.Module):
         video = uniform_sample_frames(video, self.num_frames, axis=1)
         video = preprocess_frames(video, self.image_size, IMAGENET_MEAN, IMAGENET_STD)
         return self.model(video.astype(self.dtype))
+
+
+class VideoMAE2Embedder(VideoMAEEmbedder):
+    """VideoMAEv2-Large configuration (reference ``condition.py:403-462``:
+    trust_remote_code AutoModel with manual forward_features — here the same
+    generic ViT at the Large size)."""
+
+    dim: int = 1024
+    depth: int = 24
+    heads: int = 16
+
+
+class IdentityEncoder(nn.Module):
+    """Pass-through conditioning (reference ``condition.py`` IdentityEncoder)."""
+
+    def __call__(self, x):
+        return x
+
+
+class ClassEmbedder(nn.Module):
+    """Class-label embedding table (reference ``condition.py`` ClassEmbedder)."""
+
+    embed_dim: int
+    n_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, labels):
+        table = self.param(
+            "embedding", nn.initializers.normal(0.02), (self.n_classes, self.embed_dim)
+        )
+        return jnp.take(table, labels, axis=0)
 
 
 class DINOImageEmbedder(nn.Module):
