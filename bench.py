@@ -190,6 +190,13 @@ def main():
 
     if args.small:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the big UNet sampler compile (~13 min on
+    # the tunneled v5e) is paid once and reused across bench runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # noqa: BLE001
+        pass
 
     detail = {}
     try:
