@@ -78,18 +78,17 @@ class SaveVideo:
 
         out = self.save_dir / stage
         out.mkdir(parents=True, exist_ok=True)
+        gt_dir = self.save_dir / f"{stage}_gt"
+        if self.save_gt:
+            gt_dir.mkdir(parents=True, exist_ok=True)
         for batch_i, videos in enumerate(generated):
-            for v in videos:
+            gts = ground_truth[batch_i] if batch_i < len(ground_truth) else []
+            for j, v in enumerate(videos):
                 write_video(out / f"{self._counter:06d}.mp4", v, fps=self.fps,
                             input_format="TCHW")
-                if self.save_gt and batch_i < len(ground_truth):
-                    gt_dir = self.save_dir / f"{stage}_gt"
-                    gt_dir.mkdir(parents=True, exist_ok=True)
-                    write_video(
-                        gt_dir / f"{self._counter:06d}.mp4",
-                        ground_truth[batch_i][self._counter % len(ground_truth[batch_i])],
-                        fps=self.fps, input_format="TCHW",
-                    )
+                if self.save_gt and j < len(gts):
+                    write_video(gt_dir / f"{self._counter:06d}.mp4", gts[j],
+                                fps=self.fps, input_format="TCHW")
                 self._counter += 1
         return {}
 

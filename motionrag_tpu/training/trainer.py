@@ -79,6 +79,8 @@ class Trainer:
         limit_val_batches: Optional[int] = None,
         limit_test_batches: Optional[int] = None,
         num_sanity_val_steps: int = 0,
+        param_sharding: str = "replicated",  # or 'fsdp'
+        partition_rules: Optional[list] = None,
     ):
         self.max_steps = max_steps
         self.mesh_config = mesh_config or MeshConfig()
@@ -94,6 +96,8 @@ class Trainer:
         self.limit_val_batches = limit_val_batches
         self.limit_test_batches = limit_test_batches
         self.num_sanity_val_steps = num_sanity_val_steps
+        self.param_sharding = param_sharding
+        self.partition_rules = partition_rules
         self.logger = JSONLLogger(self.root_dir)
         self.mesh = None
 
@@ -112,6 +116,33 @@ class Trainer:
     def _replicate(self, tree):
         return jax.device_put(tree, NamedSharding(self.mesh, P()))
 
+    def _param_shardings(self, params):
+        """Sharding tree for parameters: replicated (DDP-equivalent),
+        'fsdp' (largest divisible axis sharded over the fsdp mesh axis —
+        ZeRO-3-style, XLA inserts the gathers), and/or explicit
+        partition_rules (e.g. the CogVideoX DiT TP rules)."""
+        if self.partition_rules is not None:
+            from motionrag_tpu.parallel.sharding import apply_partition_rules
+
+            return apply_partition_rules(params, self.partition_rules, self.mesh)
+        if self.param_sharding == "fsdp":
+            n_fsdp = self.mesh.shape["fsdp"]
+
+            def spec_for(leaf):
+                if not hasattr(leaf, "shape") or leaf.ndim == 0:
+                    return NamedSharding(self.mesh, P())
+                # shard the largest axis divisible by the fsdp size
+                axes = sorted(range(leaf.ndim), key=lambda a: -leaf.shape[a])
+                for a in axes:
+                    if leaf.shape[a] % n_fsdp == 0 and leaf.shape[a] >= n_fsdp:
+                        spec = [None] * leaf.ndim
+                        spec[a] = "fsdp"
+                        return NamedSharding(self.mesh, P(*spec))
+                return NamedSharding(self.mesh, P())
+
+            return jax.tree.map(spec_for, params)
+        return jax.tree.map(lambda _: NamedSharding(self.mesh, P()), params)
+
     def setup(self, module, batch_template: dict, ckpt_path: str | None = None):
         self.mesh = build_mesh(self.mesh_config)
         rng = jax.random.key(self.seed)
@@ -122,16 +153,19 @@ class Trainer:
         self.tx, self.mask = build_optimizer(
             params, module.trainable_patterns, **self.optimizer_config
         )
+        # place params per the sharding policy; optimizer state and EMA
+        # inherit the shardings through zeros_like/astype
+        shardings = self._param_shardings(params)
+        params = jax.tree.map(jax.device_put, params, shardings)
         opt_state = self.tx.init(params)
         ema = ema_init(params) if self.use_ema else None
         state = TrainState(
-            step=jnp.zeros((), jnp.int32),
+            step=self._replicate(jnp.zeros((), jnp.int32)),
             params=params,
             opt_state=opt_state,
             ema_params=ema,
-            rng=rng,
+            rng=self._replicate(rng),
         )
-        state = self._replicate(state)
         n_train = sum(
             leaf.size for leaf, m in zip(
                 jax.tree.leaves(params),

@@ -163,3 +163,31 @@ def test_trainer_fit_two_steps(tmp_path):
     state = trainer.fit(module, ToyDataModule())
     assert int(jax.device_get(state.step)) == 2
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_trainer_fsdp_param_sharding(tmp_path):
+    from motionrag_tpu.parallel.mesh import MeshConfig
+    from motionrag_tpu.training.trainer import Trainer
+    from tests.test_svd import tiny_module
+
+    module = tiny_module()
+    module.full_trainable_modules = ("unet.conv_out",)
+    trainer = Trainer(
+        max_steps=1,
+        mesh_config=MeshConfig(dp=2, fsdp=2, tp=1, sp=1),
+        optimizer_config={"learning_rate": 1e-3},
+        val_check_interval=0,
+        log_every_n_steps=1,
+        checkpoint_every_n_steps=0,
+        default_root_dir=str(tmp_path),
+        param_sharding="fsdp",
+    )
+    state = trainer.fit(module, ToyDataModule(b=4))
+    assert int(jax.device_get(state.step)) == 1
+    # at least one large param should actually be sharded over fsdp
+    shardings = [
+        leaf.sharding for leaf in jax.tree.leaves(state.params)
+        if hasattr(leaf, "sharding") and leaf.ndim >= 2
+    ]
+    assert any("fsdp" in str(s.spec) for s in shardings)
