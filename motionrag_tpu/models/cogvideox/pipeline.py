@@ -25,6 +25,7 @@ from motionrag_tpu.models.cogvideox.scheduler import (
     dpm_sample_loop,
 )
 from motionrag_tpu.models.fusion import condition_fusion
+from motionrag_tpu.ops.norms import pallas_norms
 
 __all__ = [
     "CogVideoXImageToVideoPipeline",
@@ -144,12 +145,13 @@ class CogVideoXImageToVideoPipeline:
             jnp.float32,
         ).astype(self.dtype)
 
-        latents = self._sample(
-            params, noise, image_latents, prompt_embeds, negative_prompt_embeds,
-            action_emb, guidance_scale, num_inference_steps,
-            use_dynamic_cfg, self.scheduler_name,
-        )
-        frames = self.vae.apply(params["vae"], latents.astype(self.dtype), method="decode")
+        with pallas_norms():
+            latents = self._sample(
+                params, noise, image_latents, prompt_embeds, negative_prompt_embeds,
+                action_emb, guidance_scale, num_inference_steps,
+                use_dynamic_cfg, self.scheduler_name,
+            )
+            frames = self.vae.apply(params["vae"], latents.astype(self.dtype), method="decode")
         # [b, f, h, w, 3] -> [b, f, 3, h, w]
         return frames.transpose(0, 1, 4, 2, 3)
 

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from motionrag_tpu.models.dynamicrafter.ddim import ddim_sample
+from motionrag_tpu.ops.norms import pallas_norms
 
 __all__ = ["DynamiCrafterPipeline", "DynamiCrafterPipelineRef"]
 
@@ -116,17 +117,18 @@ class DynamiCrafterPipeline:
         ).astype(dtype)
         fs_arr = jnp.full((b,), float(fs if fs is not None else module.frame_stride))
 
-        latents = self._sample(
-            params, noise, c_concat, ctx_cond, ctx_uncond, fs_arr,
-            unconditional_guidance_scale, ddim_steps, guidance_rescale,
-        )
+        with pallas_norms():
+            latents = self._sample(
+                params, noise, c_concat, ctx_cond, ctx_uncond, fs_arr,
+                unconditional_guidance_scale, ddim_steps, guidance_rescale,
+            )
 
-        # per-frame VAE decode (perframe_ae)
-        z = latents.astype(jnp.float32) / module.scale_factor
-        bz, f, hh, ww, cz = z.shape
-        frames = module.vae.apply(
-            params["vae"], z.reshape(bz * f, hh, ww, cz).astype(dtype), method="decode"
-        )
+            # per-frame VAE decode (perframe_ae)
+            z = latents.astype(jnp.float32) / module.scale_factor
+            bz, f, hh, ww, cz = z.shape
+            frames = module.vae.apply(
+                params["vae"], z.reshape(bz * f, hh, ww, cz).astype(dtype), method="decode"
+            )
         frames = frames.reshape(bz, f, frames.shape[1], frames.shape[2], 3)
         return frames.transpose(0, 1, 4, 2, 3)
 

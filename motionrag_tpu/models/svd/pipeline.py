@@ -24,6 +24,7 @@ import numpy as np
 from motionrag_tpu.models.fusion import condition_fusion
 from motionrag_tpu.models.svd.sampler import euler_sample_loop, karras_sigmas
 from motionrag_tpu.utils.pipeline import resize_with_antialiasing
+from motionrag_tpu.ops.norms import pallas_norms
 
 __all__ = ["SVDPipeline", "SVDActionPipeline", "SVDCTPipeline", "get_add_time_ids"]
 
@@ -159,11 +160,13 @@ class SVDPipeline:
         ).astype(self.dtype)
         guidance = jnp.linspace(min_guidance_scale, max_guidance_scale, num_frames)
 
-        latents = self._sample(
-            params, noise, image_latents, image_emb, added_time_ids,
-            action_emb, guidance, num_inference_steps, num_frames,
-        )
-        return self._decode(params, latents, decode_chunk_size)
+        # inference traces use the fused Pallas GroupNorm
+        with pallas_norms():
+            latents = self._sample(
+                params, noise, image_latents, image_emb, added_time_ids,
+                action_emb, guidance, num_inference_steps, num_frames,
+            )
+            return self._decode(params, latents, decode_chunk_size)
 
 
 class SVDActionPipeline(SVDPipeline):

@@ -8,9 +8,28 @@ normalization behavior inside its torch modules.
 
 from __future__ import annotations
 
+import contextlib
+
+import jax
 import jax.numpy as jnp
 
-__all__ = ["group_norm", "layer_norm", "rms_norm", "ada_layer_norm"]
+__all__ = ["group_norm", "layer_norm", "rms_norm", "ada_layer_norm", "pallas_norms"]
+
+# trace-time switch: inside `with pallas_norms():` group_norm lowers to the
+# fused Pallas kernel (inference paths; the kernel has no VJP, so training
+# keeps the XLA formulation)
+_USE_PALLAS_GROUPNORM = False
+
+
+@contextlib.contextmanager
+def pallas_norms(enable: bool = True):
+    global _USE_PALLAS_GROUPNORM
+    prev = _USE_PALLAS_GROUPNORM
+    _USE_PALLAS_GROUPNORM = enable
+    try:
+        yield
+    finally:
+        _USE_PALLAS_GROUPNORM = prev
 
 
 def group_norm(
@@ -29,6 +48,24 @@ def group_norm(
     the group). ``act='silu'`` fuses the SiLU used before every conv in the
     UNet ResBlocks (XLA fuses this chain into the normalize epilogue).
     """
+    if (
+        _USE_PALLAS_GROUPNORM
+        and scale is not None
+        and bias is not None
+        and (channel_axis == -1 or channel_axis == x.ndim - 1)
+        and x.ndim >= 3
+        and act in (None, "silu")
+        and jax.default_backend() == "tpu"
+    ):
+        from motionrag_tpu.ops.groupnorm_pallas import group_norm_fused
+
+        orig_shape = x.shape
+        flat = x.reshape(orig_shape[0], -1, orig_shape[-1])
+        out = group_norm_fused(
+            flat, scale, bias, groups=num_groups, eps=eps, act=act
+        )
+        return out.reshape(orig_shape)
+
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     if channel_axis != -1 and channel_axis != xf.ndim - 1:
