@@ -98,13 +98,31 @@ class FrechetVideoDistance(FrechetDistance):
         super().__init__(feature_fn or _default_i3d_feature_fn(), num_features)
 
 
-class FrechetImageDistance(FrechetDistance):
-    """FID over per-frame image features. The reference uses torchmetrics'
-    InceptionV3-pool3 (2048-d); here the feature fn is pluggable (InceptionV3
-    port pending — any frame-level embedder works, e.g. DINOv2 CLS)."""
+def _default_inception_feature_fn():
+    import jax
+    import jax.numpy as jnp
 
-    def __init__(self, feature_fn: Callable, num_features: int):
-        super().__init__(feature_fn, num_features)
+    from motionrag_tpu.metrics.inception import InceptionV3
+
+    model = InceptionV3()
+    params = {}
+    apply = jax.jit(lambda p, f: model.apply(p, f))
+
+    def fn(frames_u8: np.ndarray) -> np.ndarray:
+        if not params:
+            params.update(model.init(jax.random.key(0), jnp.asarray(frames_u8[:1])))
+        return np.asarray(apply(dict(params), jnp.asarray(frames_u8)))
+
+    return fn
+
+
+class FrechetImageDistance(FrechetDistance):
+    """FID over per-frame InceptionV3 pool3 features (2048-d), matching the
+    torchmetrics FrechetInceptionDistance the reference applies to frames
+    (``fvd.py:29-32``). ``feature_fn`` is pluggable."""
+
+    def __init__(self, feature_fn: Optional[Callable] = None, num_features: int = 2048):
+        super().__init__(feature_fn or _default_inception_feature_fn(), num_features)
 
     def update(self, videos: np.ndarray, real: bool):
         frames = videos.reshape((-1,) + videos.shape[2:])  # [b*t, c, h, w]

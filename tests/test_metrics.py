@@ -121,3 +121,19 @@ def test_i3d_forward_shape():
     params = model.init(jax.random.key(0), vids)
     out = model.apply(params, vids)
     assert out.shape == (1, 10)
+
+
+def test_inception_v3_shape_and_params():
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.metrics.inception import InceptionV3
+
+    model = InceptionV3()
+    frames = jnp.zeros((1, 3, 64, 64), jnp.uint8)
+    variables = model.init(jax.random.key(0), frames)
+    out = model.apply(variables, frames)
+    assert out.shape == (1, 2048)
+    n = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    # torchvision InceptionV3 feature extractor ~21.8M params
+    assert 20e6 < n < 24e6, f"param count {n/1e6:.1f}M out of range"
