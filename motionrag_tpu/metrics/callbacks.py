@@ -150,3 +150,9 @@ def DINOCallback():
     from motionrag_tpu.metrics.dino import DINOScore
 
     return MetricLogger("dino_score", DINOScore)
+
+
+def FIDCallback():
+    from motionrag_tpu.metrics.frechet import FrechetImageDistance
+
+    return MetricLogger("fid", FrechetImageDistance, kind="real_fake")
