@@ -60,9 +60,12 @@ def group_norm(
         from motionrag_tpu.ops.groupnorm_pallas import group_norm_fused
 
         orig_shape = x.shape
-        flat = x.reshape(orig_shape[0], -1, orig_shape[-1])
+        c = orig_shape[-1]
+        # VMEM budget: ~3 live fp32 copies of the block; keep under ~4MB
+        block_s = 512 if c <= 640 else (256 if c <= 1536 else 128)
+        flat = x.reshape(orig_shape[0], -1, c)
         out = group_norm_fused(
-            flat, scale, bias, groups=num_groups, eps=eps, act=act
+            flat, scale, bias, groups=num_groups, eps=eps, act=act, block_s=block_s
         )
         return out.reshape(orig_shape)
 
