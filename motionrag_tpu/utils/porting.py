@@ -21,6 +21,8 @@ __all__ = [
     "port_clip_vision",
     "port_clip_text",
     "port_t5_encoder",
+    "port_torch_transformer_encoder",
+    "port_resampler",
 ]
 
 
@@ -262,5 +264,77 @@ def port_t5_encoder(sd: dict, depth: int) -> dict:
             "wi_0": {"kernel": _t(_np(sd, f"{pre}.layer.1.DenseReluDense.wi_0.weight"))},
             "wi_1": {"kernel": _t(_np(sd, f"{pre}.layer.1.DenseReluDense.wi_1.weight"))},
             "wo": {"kernel": _t(_np(sd, f"{pre}.layer.1.DenseReluDense.wo.weight"))},
+        }
+    return {"params": p}
+
+
+def port_torch_transformer_encoder(sd: dict, depth: int, prefix: str = "") -> dict:
+    """torch ``nn.TransformerEncoder`` state_dict -> models.layers.
+    TransformerEncoder params (the CAMA CT backbone; reference config
+    ``configs/motion_transformer/...yml:130-144``). in_proj qkv is split
+    into our separate q/k/v projections."""
+    p = {}
+    for i in range(depth):
+        pre = f"{prefix}layers.{i}"
+        in_w = _np(sd, f"{pre}.self_attn.in_proj_weight")  # [3d, d]
+        in_b = _np(sd, f"{pre}.self_attn.in_proj_bias")
+        d = in_w.shape[1]
+        qw, kw, vw = in_w[:d], in_w[d:2*d], in_w[2*d:]
+        qb, kb, vb = in_b[:d], in_b[d:2*d], in_b[2*d:]
+        p[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": {"kernel": _t(qw), "bias": qb},
+                "k_proj": {"kernel": _t(kw), "bias": kb},
+                "v_proj": {"kernel": _t(vw), "bias": vb},
+                "out_proj": {
+                    "kernel": _t(_np(sd, f"{pre}.self_attn.out_proj.weight")),
+                    "bias": _np(sd, f"{pre}.self_attn.out_proj.bias"),
+                },
+            },
+            "linear1": {
+                "kernel": _t(_np(sd, f"{pre}.linear1.weight")),
+                "bias": _np(sd, f"{pre}.linear1.bias"),
+            },
+            "linear2": {
+                "kernel": _t(_np(sd, f"{pre}.linear2.weight")),
+                "bias": _np(sd, f"{pre}.linear2.bias"),
+            },
+            "norm1": {
+                "scale": _np(sd, f"{pre}.norm1.weight"),
+                "bias": _np(sd, f"{pre}.norm1.bias"),
+            },
+            "norm2": {
+                "scale": _np(sd, f"{pre}.norm2.weight"),
+                "bias": _np(sd, f"{pre}.norm2.bias"),
+            },
+        }
+    return {"params": p}
+
+
+def port_resampler(sd: dict, depth: int, prefix: str = "") -> dict:
+    """Reference Resampler state_dict (``resampler.py:108-174`` naming:
+    latents, proj_in/out, norm_out, layers.{i}.{0,1}) -> models.resampler.
+    Resampler params."""
+    g = lambda k: _np(sd, prefix + k)
+    p = {
+        "latents": g("latents"),
+        "proj_in": {"kernel": _t(g("proj_in.weight")), "bias": g("proj_in.bias")},
+        "proj_out": {"kernel": _t(g("proj_out.weight")), "bias": g("proj_out.bias")},
+        "norm_out": {"scale": g("norm_out.weight"), "bias": g("norm_out.bias")},
+    }
+    for i in range(depth):
+        a = f"layers.{i}.0"
+        f_ = f"layers.{i}.1"
+        p[f"layers_{i}_attn"] = {
+            "norm1": {"scale": g(f"{a}.norm1.weight"), "bias": g(f"{a}.norm1.bias")},
+            "norm2": {"scale": g(f"{a}.norm2.weight"), "bias": g(f"{a}.norm2.bias")},
+            "to_q": {"kernel": _t(g(f"{a}.to_q.weight"))},
+            "to_kv": {"kernel": _t(g(f"{a}.to_kv.weight"))},
+            "to_out": {"kernel": _t(g(f"{a}.to_out.weight"))},
+        }
+        p[f"layers_{i}_ff"] = {
+            "norm": {"scale": g(f"{f_}.0.weight"), "bias": g(f"{f_}.0.bias")},
+            "fc1": {"kernel": _t(g(f"{f_}.1.weight"))},
+            "fc2": {"kernel": _t(g(f"{f_}.3.weight"))},
         }
     return {"params": p}

@@ -128,3 +128,62 @@ def test_t5_parity(rng):
         ref = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
     out = np.asarray(ours.apply(params, jnp.asarray(ids)))
     np.testing.assert_allclose(out, ref, **TOL)
+
+
+def test_torch_transformer_encoder_parity(rng):
+    from motionrag_tpu.models.layers import TransformerEncoder
+    from motionrag_tpu.ops.attention import block_causal_mask
+
+    d, h, ff, depth = 32, 4, 64, 2
+    torch.manual_seed(0)
+    layer = torch.nn.TransformerEncoderLayer(
+        d, h, ff, dropout=0.0, activation="gelu", batch_first=True, norm_first=False
+    )
+    hf = torch.nn.TransformerEncoder(layer, depth).eval()
+    ours = TransformerEncoder(num_layers=depth, d_model=d, nhead=h, dim_feedforward=ff)
+    params = porting.port_torch_transformer_encoder(hf.state_dict(), depth=depth)
+
+    x = rng.standard_normal((2, 12, d), dtype=np.float32)
+    # block-causal mask: torch uses True=blocked float('-inf') convention
+    ours_mask = block_causal_mask(4, 3)
+    torch_mask = ~torch.from_numpy(np.asarray(ours_mask))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x), mask=torch_mask).numpy()
+    out = np.asarray(ours.apply(params, jnp.asarray(x), mask=ours_mask))
+    np.testing.assert_allclose(out, ref, **TOL)
+
+
+def test_resampler_porter_roundtrip(rng):
+    """Build a torch-like state dict with the reference Resampler naming and
+    check the ported params drive our Resampler (shape-compatible with its
+    init tree)."""
+    from motionrag_tpu.models.resampler import Resampler
+
+    dim, depth, heads, dh, nq, ed, od = 16, 2, 2, 8, 3, 12, 20
+    inner = heads * dh
+    g = torch.Generator().manual_seed(0)
+    t = lambda *s: torch.randn(*s, generator=g)
+    sd = {"latents": t(1, nq, dim),
+          "proj_in.weight": t(dim, ed), "proj_in.bias": t(dim),
+          "proj_out.weight": t(od, dim), "proj_out.bias": t(od),
+          "norm_out.weight": t(od), "norm_out.bias": t(od)}
+    for i in range(depth):
+        sd.update({
+            f"layers.{i}.0.norm1.weight": t(dim), f"layers.{i}.0.norm1.bias": t(dim),
+            f"layers.{i}.0.norm2.weight": t(dim), f"layers.{i}.0.norm2.bias": t(dim),
+            f"layers.{i}.0.to_q.weight": t(inner, dim),
+            f"layers.{i}.0.to_kv.weight": t(2 * inner, dim),
+            f"layers.{i}.0.to_out.weight": t(dim, inner),
+            f"layers.{i}.1.0.weight": t(dim), f"layers.{i}.1.0.bias": t(dim),
+            f"layers.{i}.1.1.weight": t(4 * dim, dim),
+            f"layers.{i}.1.3.weight": t(dim, 4 * dim),
+        })
+    params = porting.port_resampler(sd, depth=depth)
+    model = Resampler(dim=dim, depth=depth, dim_head=dh, heads=heads,
+                      num_queries=nq, embedding_dim=ed, output_dim=od)
+    ref = model.init(jax.random.key(0), jnp.zeros((1, 5, ed)))
+    ref_shapes = jax.tree.map(lambda l: l.shape, ref)
+    new_shapes = jax.tree.map(lambda l: l.shape, params)
+    assert ref_shapes == new_shapes
+    out = model.apply(params, jnp.asarray(rng.standard_normal((2, 5, ed), dtype=np.float32)))
+    assert out.shape == (2, nq, od)
