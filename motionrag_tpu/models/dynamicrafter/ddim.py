@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["LVDMSchedule", "ddim_sample"]
+__all__ = ["LVDMSchedule", "ddim_sample", "ddim_sample_dual_cfg"]
 
 
 def make_beta_schedule(n: int, linear_start=0.00085, linear_end=0.012) -> np.ndarray:
@@ -162,6 +162,57 @@ def ddim_sample(
 
         dir_xt = jnp.sqrt(1.0 - a_prev) * e_t  # eta=0
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        return x_prev.astype(x.dtype)
+
+    return lax.fori_loop(0, n, body, latents)
+
+
+def ddim_sample_dual_cfg(
+    schedule: LVDMSchedule,
+    denoise_fn3,
+    latents: jnp.ndarray,
+    num_steps: int,
+    text_guidance_scale: float = 7.5,
+    image_guidance_scale: float = 1.0,
+    guidance_rescale: float = 0.0,
+    timestep_spacing: str = "uniform_trailing",
+):
+    """Dual-CFG DDIM (reference ``lvdm/models/samplers/ddim_multiplecond.py``):
+    text and image guidance applied separately,
+
+        out = e_uc + s_img * (e_img_only - e_uc) + s_txt * (e_full - e_img_only)
+
+    denoise_fn3(x, t) -> (pred_full, pred_img_only, pred_uncond), typically a
+    batched-3x model call.
+    """
+    ts = jnp.asarray(schedule.ddim_timesteps(num_steps, timestep_spacing))
+    acp = schedule.alphas_cumprod
+    scale_arr = schedule.scale_arr
+    n = num_steps
+
+    def body(i, x):
+        idx = n - 1 - i
+        t = ts[idx]
+        a_t = acp[t]
+        t_prev = jnp.where(idx > 0, ts[jnp.maximum(idx - 1, 0)], -1)
+        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+
+        pred_full, pred_img, pred_uc = denoise_fn3(x, t)
+        model_out = (
+            pred_uc
+            + image_guidance_scale * (pred_img - pred_uc)
+            + text_guidance_scale * (pred_full - pred_img)
+        )
+        if guidance_rescale > 0.0:
+            model_out = _rescale_noise_cfg(model_out, pred_full, guidance_rescale)
+        xf = x.astype(jnp.float32)
+        mo = model_out.astype(jnp.float32)
+        e_t = schedule.predict_eps_from_v(xf, mo, a_t)
+        pred_x0 = schedule.predict_x0_from_v(xf, mo, a_t)
+        if schedule.use_dynamic_rescale:
+            prev_scale = jnp.where(t_prev >= 0, scale_arr[jnp.maximum(t_prev, 0)], 1.0)
+            pred_x0 = pred_x0 * (prev_scale / scale_arr[t])
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + jnp.sqrt(1.0 - a_prev) * e_t
         return x_prev.astype(x.dtype)
 
     return lax.fori_loop(0, n, body, latents)

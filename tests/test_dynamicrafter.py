@@ -160,3 +160,18 @@ def test_dynamicrafter_action_module():
     batch2 = dict(batch, ref_videos=batch["ref_videos"] * -1)
     loss2, _ = module.loss(params, batch2, jax.random.key(1))
     assert float(loss) != float(loss2)
+
+
+def test_ddim_dual_cfg_runs():
+    from motionrag_tpu.models.dynamicrafter.ddim import LVDMSchedule, ddim_sample_dual_cfg
+
+    sch = LVDMSchedule(rescale_betas_zero_snr=True, use_dynamic_rescale=True)
+    x0 = jnp.ones((1, 2, 4, 4, 2))
+
+    def fn3(x, t):
+        return x * 0.1, x * 0.05, x * 0.0
+
+    out = ddim_sample_dual_cfg(sch, fn3, x0, num_steps=3,
+                               text_guidance_scale=7.5, image_guidance_scale=1.2)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
