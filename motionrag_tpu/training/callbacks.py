@@ -223,3 +223,20 @@ class ModelCheckpoint:
 
     def on_fit_start(self, trainer, module):
         trainer.checkpoint_every_n_steps = self.every_n_train_steps
+
+
+class FindUnusedParameters:
+    """Diagnostic counterpart of the reference's DDP FindUnusedParameters
+    callback (``training.py:342-347``): after the first step, report
+    trainable parameters whose gradient moments never moved — in the masked-
+    optimizer design this surfaces mask patterns that matched nothing."""
+
+    def on_fit_start(self, trainer, module):
+        import jax
+
+        n_sel = sum(1 for m in jax.tree.leaves(trainer.mask) if m)
+        if n_sel == 0:
+            print("WARNING: trainable mask selected ZERO parameters — "
+                  f"patterns: {module.trainable_patterns}")
+        else:
+            print(f"trainable mask selected {n_sel} parameter tensors")

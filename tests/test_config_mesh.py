@@ -62,3 +62,18 @@ def test_mesh_psum_collective(mesh8):
     out = jax.shard_map(f, mesh=mesh8, in_specs=P("dp"), out_specs=P())(x)
     assert out.shape == (1, 2, 2)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0] + x[1]))
+
+
+def test_collectives_helpers(mesh8):
+    import numpy as np
+    from motionrag_tpu.parallel.collectives import all_gather_batch, psum_mean
+
+    def f(x):
+        return psum_mean({"g": x}, axis_name="dp")["g"], all_gather_batch(x, axis_name="dp")
+
+    x = jnp.arange(8.0).reshape(4, 2)
+    mean, gathered = jax.shard_map(
+        f, mesh=mesh8, in_specs=P("dp"), out_specs=(P("dp"), P("dp")),
+    )(x)
+    # psum_mean of the two dp shards = elementwise mean
+    np.testing.assert_allclose(np.asarray(mean)[:2], np.asarray((x[:2] + x[2:]) / 2))
