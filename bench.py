@@ -86,21 +86,25 @@ def bench_svd(small: bool):
     jax.block_until_ready(params)
     init_s = time.time() - t0
 
+    # NOTE: through the axon tunnel block_until_ready can return before the
+    # remote execution completes, and identical executions may be de-duped —
+    # every timed run uses a distinct seed and fetches the frames to host
+    # (which the reference's output contract requires anyway,
+    # base_module.py:150-158).
     def run(seed):
-        return pipe(
+        out = pipe(
             params, image, jax.random.key(seed),
             num_frames=num_frames, height=height, width=width,
             num_inference_steps=steps, decode_chunk_size=8,
         )
+        return np.asarray(jax.device_get(out))
 
     t0 = time.time()
-    out = run(0)
-    jax.block_until_ready(out)
+    run(0)
     compile_s = time.time() - t0
 
     t0 = time.time()
-    out = run(1)
-    jax.block_until_ready(out)
+    run(1)
     run_s = time.time() - t0
     return {"svd_s_per_video": run_s, "compile_s": compile_s, "init_s": init_s}
 
@@ -143,13 +147,14 @@ def bench_rag_cama(small: bool):
     row_ids = jnp.asarray(
         np.arange(n_chunks * chunk, dtype=np.int32).reshape(n_chunks, chunk) % 50000
     )
-    q = jnp.asarray(rng.standard_normal((1, dim), dtype=np.float32))
+    q1 = jnp.asarray(rng.standard_normal((1, dim), dtype=np.float32))
+    q2 = jnp.asarray(rng.standard_normal((1, dim), dtype=np.float32))
     ex = jnp.asarray([3], np.int32)
 
-    search = lambda: _chunked_topk(q, emb, row_ids, ex, k + 3)
-    jax.block_until_ready(search())  # compile
+    # distinct query + host fetch: the tunnel de-dupes identical executions
+    np.asarray(jax.device_get(_chunked_topk(q1, emb, row_ids, ex, k + 3)[0]))
     t0 = time.time()
-    jax.block_until_ready(search())
+    np.asarray(jax.device_get(_chunked_topk(q2, emb, row_ids, ex, k + 3)[0]))
     rag_s = time.time() - t0
 
     # --- CAMA: VideoMAE x(K+1) + DINO x(K+1) + CT forward -----------------
@@ -162,10 +167,17 @@ def bench_rag_cama(small: bool):
         condition_pe=SinusoidPositionalEmbeddings(out_dim, 2560),
     )
     size = 64 if small else 224
-    batch = {
-        "ref_videos": jnp.zeros((1, k, frames, 3, size, size), dtype),
-        "video": jnp.zeros((1, frames, 3, size, size), dtype),
-    }
+
+    def make_batch(seed):
+        key = jax.random.key(seed)
+        return {
+            "ref_videos": jax.random.uniform(
+                key, (1, k, frames, 3, size, size), dtype, -1, 1
+            ),
+            "video": jax.random.uniform(key, (1, frames, 3, size, size), dtype, -1, 1),
+        }
+
+    batch = make_batch(0)
 
     def ct_init():
         videos = jnp.concatenate([batch["ref_videos"], batch["video"][:, None]], axis=1)
@@ -174,9 +186,9 @@ def bench_rag_cama(small: bool):
     ct_params = jax.device_put(make_params_from_shapes(ct_init))
 
     predict = jax.jit(lambda p, b: ct.apply(p, b, True, method="predict"))
-    jax.block_until_ready(predict(ct_params, batch))  # compile
+    np.asarray(jax.device_get(predict(ct_params, batch)))  # compile + fetch
     t0 = time.time()
-    jax.block_until_ready(predict(ct_params, batch))
+    np.asarray(jax.device_get(predict(ct_params, make_batch(1))))
     cama_s = time.time() - t0
     return {"rag_s": rag_s, "cama_s": cama_s}
 
