@@ -332,9 +332,17 @@ class UNet3D(nn.Module):
                 out_ch, temb_dim, self.temporal_conv, dtype=self.dtype, name=name
             )
 
+        # gradient checkpointing over the transformer blocks (reference
+        # use_checkpoint: true in the shipped configs)
+        spatial_cls = nn.remat(SpatialTransformer3D) if self.remat else SpatialTransformer3D
+        temporal_cls = (
+            nn.remat(TemporalTransformer3D, static_argnums=(2,))
+            if self.remat else TemporalTransformer3D
+        )
+
         def spatial(ch, name):
             heads = ch // self.num_head_channels
-            return SpatialTransformer3D(
+            return spatial_cls(
                 ch, heads, self.num_head_channels, self.context_dim,
                 self.transformer_depth,
                 image_branch=self.image_cross_attention,
@@ -346,7 +354,7 @@ class UNet3D(nn.Module):
 
         def temporal(ch, name):
             heads = ch // self.num_head_channels
-            return TemporalTransformer3D(
+            return temporal_cls(
                 ch, heads, self.num_head_channels, self.transformer_depth,
                 dtype=self.dtype, name=name,
             )

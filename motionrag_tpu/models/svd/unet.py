@@ -118,7 +118,17 @@ class UNetSpatioTemporal(nn.Module):
     projection_class_embeddings_input_dim: int = 768
     adapter_sites: Sequence[str] = ()
     adapter_scale: float = 1.0
+    # gradient checkpointing over the attention transformers (reference
+    # gradient_checkpointing / use_checkpoint parity; jax.checkpoint trades
+    # recompute for activation memory)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _transformer_cls(self):
+        if not self.remat:
+            return TransformerSpatioTemporal
+        # num_frames (3rd call arg) must stay static under jax.checkpoint
+        return nn.remat(TransformerSpatioTemporal, static_argnums=(3,))
 
     def _has_adapter(self, site: str) -> bool:
         return f"{site}.transformer_blocks.0.attn2.processor" in set(self.adapter_sites)
@@ -164,7 +174,7 @@ class UNetSpatioTemporal(nn.Module):
                     name=f"down_blocks_{i}_resnets_{j}",
                 )(x, emb, f)
                 if not is_final:
-                    x = TransformerSpatioTemporal(
+                    x = self._transformer_cls()(
                         out_ch, self.num_attention_heads[i], self.cross_attention_dim,
                         with_adapter=self._has_adapter(f"down_blocks.{i}.attentions.{j}"),
                         adapter_scale=self.adapter_scale,
@@ -179,7 +189,7 @@ class UNetSpatioTemporal(nn.Module):
         x = SpatioTemporalResBlock(
             self.block_out_channels[-1], temb_dim, dtype=self.dtype, name="mid_block_resnets_0"
         )(x, emb, f)
-        x = TransformerSpatioTemporal(
+        x = self._transformer_cls()(
             self.block_out_channels[-1], self.num_attention_heads[-1], self.cross_attention_dim,
             with_adapter=self._has_adapter("mid_block.attentions.0"),
             adapter_scale=self.adapter_scale, dtype=self.dtype, name="mid_block_attentions_0",
@@ -199,7 +209,7 @@ class UNetSpatioTemporal(nn.Module):
                     out_ch, temb_dim, dtype=self.dtype, name=f"up_blocks_{i}_resnets_{j}"
                 )(x, emb, f)
                 if not is_first:
-                    x = TransformerSpatioTemporal(
+                    x = self._transformer_cls()(
                         out_ch, list(reversed(self.num_attention_heads))[i],
                         self.cross_attention_dim,
                         with_adapter=self._has_adapter(f"up_blocks.{i}.attentions.{j}"),
