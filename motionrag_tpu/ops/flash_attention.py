@@ -43,7 +43,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, scale, block_q, block_k, q_len, kv_len, n_kv, causal,
+    *, scale, block_q, block_k, q_len, kv_len, n_kv, causal, with_lse=True,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(1)
@@ -97,12 +97,13 @@ def _fwd_kernel(
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
-        # logsumexp = m + log l  (for the backward recompute)
-        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
-        lse_ref[0] = lse.astype(lse_ref.dtype)
+        if with_lse:
+            # logsumexp = m + log l  (for the backward recompute)
+            lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse_ref[0] = lse.astype(lse_ref.dtype)
 
 
-def _fwd(q, k, v, scale, causal, block_q, block_k, interpret):
+def _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=True):
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
     q_pad = _ceil_to(q_len, block_q)
@@ -121,7 +122,12 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret):
         kv_len=kv_len,
         n_kv=n_kv,
         causal=causal,
+        with_lse=with_lse,
     )
+    # lse is only materialized when the backward pass needs it (saves
+    # bh*q*128*4 bytes of HBM on the inference path)
+    lse_rows = q_pad if with_lse else block_q
+    lse_map = (lambda b, i, j: (b, i, 0)) if with_lse else (lambda b, i, j: (b, 0, 0))
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, n_q, n_kv),
@@ -132,11 +138,11 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lse_map),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, q_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lse_rows, LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -148,6 +154,8 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret):
         ),
         interpret=interpret,
     )(qp, kp, vp)
+    if not with_lse:
+        return out[:, :q_len], None
     return out[:, :q_len], lse[:, :q_len, 0]
 
 
@@ -341,7 +349,7 @@ def _bwd_impl(q, k, v, out, lse, do, scale, causal, block_q, block_k, interpret)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash(q, k, v, scale, causal, block_q, block_k, interpret):
-    out, _ = _fwd(q, k, v, scale, causal, block_q, block_k, interpret)
+    out, _ = _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=False)
     return out
 
 
