@@ -3,10 +3,12 @@
 256-bin histogram in [-7, 5] -> +0.1 smoothing -> normalized -> KL,
 averaged over frame pairs).
 
-Flow backend: cv2 Farneback (host) — a dense classical flow standing in for
-torchvision's RAFT-large until the RAFT port lands (SURVEY.md §7 step 5
-notes RAFT as the hard one). The histogram/KL math is identical; the flow
-estimator differs, which shifts absolute values but preserves ordering.
+Flow backends:
+  - ``raft_flow_fn`` — our Flax RAFT-large (metrics/raft.py), matching the
+    reference's torchvision raft_large; pass ported weights for scored runs.
+  - ``farneback_flow`` (default) — cv2 dense classical flow; the
+    histogram/KL math is identical, absolute values shift but ordering is
+    preserved. Used when no RAFT weights are available.
 """
 
 from __future__ import annotations
@@ -70,3 +72,31 @@ class MotionDistance(Metric):
 
     def compute(self) -> float:
         return self.motion_kl / self.num_samples
+
+
+def raft_flow_fn(params=None, iters: int = 12, resize: int = 256):
+    """Build a RAFT-based flow_fn for MotionDistance (reference preprocessing
+    ``motion.py:26-47``: resize shortest side to 256, [-1,1] normalize, pad
+    to /8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.metrics.raft import RAFT
+
+    model = RAFT(iters=iters)
+    state = {"params": params}
+    apply = jax.jit(lambda p, a, b: model.apply(p, a, b))
+
+    def flow_fn(video_u8: np.ndarray) -> np.ndarray:
+        video = video_u8.astype(np.float32) / 127.5 - 1.0  # [t, c, h, w]
+        t, c, h, w = video.shape
+        scale = resize / min(h, w)
+        nh = max(int(round(h * scale)) // 8 * 8, 8)
+        nw = max(int(round(w * scale)) // 8 * 8, 8)
+        vid = jax.image.resize(jnp.asarray(video), (t, c, nh, nw), method="bilinear")
+        if state["params"] is None:
+            state["params"] = model.init(jax.random.key(0), vid[:1], vid[:1])
+        flow = apply(state["params"], vid[:-1], vid[1:])
+        return np.asarray(flow)
+
+    return flow_fn

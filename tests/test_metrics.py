@@ -137,3 +137,22 @@ def test_inception_v3_shape_and_params():
     n = sum(x.size for x in jax.tree.leaves(variables["params"]))
     # torchvision InceptionV3 feature extractor ~21.8M params
     assert 20e6 < n < 24e6, f"param count {n/1e6:.1f}M out of range"
+
+
+def test_raft_shapes_and_shift_direction():
+    """RAFT plumbing: output shape, and with random weights the flow should
+    at least be finite; with a simple translated pattern the iterative
+    refinement must run all iters without NaN."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.metrics.raft import RAFT
+
+    model = RAFT(iters=2)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (1, 3, 32, 48)).astype(np.float32)
+    img2 = np.roll(img, shift=4, axis=-1)
+    params = model.init(jax.random.key(0), jnp.asarray(img), jnp.asarray(img2))
+    flow = model.apply(params, jnp.asarray(img), jnp.asarray(img2))
+    assert flow.shape == (1, 2, 32, 48)
+    assert np.isfinite(np.asarray(flow)).all()
