@@ -374,9 +374,10 @@ def flash_attention(
     scale: float | None = None,
     causal: bool = False,
     # tuned on v5e at SVD shapes (b*h=250, s=9216, d=64): 47 TFLOP/s vs
-    # 28 at (256, 512) — bigger q tiles amortize the softmax VPU work
-    block_q: int = 512,
-    block_k: int = 1024,
+    # 28 at (256, 512) — bigger q tiles amortize the softmax VPU work.
+    # Overridable via MRT_FLASH_BQ / MRT_FLASH_BK for tuning runs.
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [batch, heads, seq, head_dim] inputs.
@@ -385,6 +386,12 @@ def flash_attention(
     Sequence lengths need not be multiples of the block sizes (padding is
     masked inside the kernel).
     """
+    import os
+
+    if block_q is None:
+        block_q = int(os.environ.get("MRT_FLASH_BQ", 512))
+    if block_k is None:
+        block_k = int(os.environ.get("MRT_FLASH_BK", 1024))
     b, h, sq, d = q.shape
     hk = k.shape[1]
     if hk != h:
