@@ -45,11 +45,15 @@ class SVDPipeline:
     """Baseline SVD I2V sampling. Holds module definitions; parameters are
     passed per call (pure-functional, trainer-owned)."""
 
-    def __init__(self, unet, vae, image_encoder, dtype=jnp.bfloat16):
+    def __init__(self, unet, vae, image_encoder, dtype=jnp.bfloat16,
+                 cfg_mode: str = "sequential"):
         self.unet = unet
         self.vae = vae
         self.image_encoder = image_encoder
         self.dtype = dtype
+        # 'batched' = reference-style 2x batch per step; 'sequential' halves
+        # the activation peak (16GB-HBM chips) at identical FLOPs
+        self.cfg_mode = cfg_mode
 
     # -- conditioning ------------------------------------------------------
 
@@ -94,17 +98,34 @@ class SVDPipeline:
         img_lat2 = jnp.concatenate([jnp.zeros_like(image_latents), image_latents], axis=0)
         ids2 = jnp.concatenate([added_time_ids, added_time_ids], axis=0)
 
+        def unet_call(x_scaled, c_noise, img_lat, emb, ids, action):
+            b = x_scaled.shape[0]
+            cond = jnp.broadcast_to(
+                img_lat[:, None], (b, num_frames) + img_lat.shape[1:]
+            )
+            unet_in = jnp.concatenate([x_scaled, cond.astype(x_scaled.dtype)], axis=-1)
+            return self.unet.apply(
+                params["unet"], unet_in, c_noise, emb, ids, action_emb=action
+            )
+
         def denoise_fn(x_scaled, c_noise, sigma):
             b = x_scaled.shape[0]
-            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
-            cond2 = jnp.broadcast_to(
-                img_lat2[:, None], (2 * b, num_frames) + img_lat2.shape[1:]
+            if self.cfg_mode == "batched":
+                x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
+                pred = unet_call(x2, c_noise, img_lat2, emb2, ids2, action_emb)
+                return pred[:b], pred[b:]
+            # sequential CFG: two half-batch calls, half the activation peak
+            a_un, a_c = None, None
+            if action_emb is not None:
+                a_un, a_c = jnp.split(action_emb, 2, axis=0)
+            pred_u = unet_call(
+                x_scaled, c_noise, jnp.zeros_like(image_latents),
+                jnp.zeros_like(image_emb), added_time_ids, a_un,
             )
-            unet_in = jnp.concatenate([x2, cond2.astype(x2.dtype)], axis=-1)
-            pred = self.unet.apply(
-                params["unet"], unet_in, c_noise, emb2, ids2, action_emb=action_emb
+            pred_c = unet_call(
+                x_scaled, c_noise, image_latents, image_emb, added_time_ids, a_c,
             )
-            return pred[:b], pred[b:]
+            return pred_u, pred_c
 
         denoised = euler_sample_loop(denoise_fn, latents, sigmas, guidance_scale)
         return denoised
