@@ -139,3 +139,19 @@ def test_svd_action_module_loss():
     batch2 = dict(batch, ref_videos=batch["ref_videos"] * -1.0)
     loss2, _ = module.loss(params, batch2, jax.random.key(1))
     assert float(loss) != float(loss2)
+
+
+def test_cfg_modes_equivalent():
+    """Sequential CFG must produce the same frames as batched CFG."""
+    module = tiny_module()
+    batch = make_batch()
+    params = module.init_params(jax.random.key(0), batch)
+    outs = {}
+    for mode in ("batched", "sequential"):
+        module.pipe.cfg_mode = mode
+        outs[mode] = np.asarray(module.eval_pipeline(
+            params, batch, jax.random.key(5),
+            num_frames=4, height=64, width=64, num_inference_steps=2,
+            decode_chunk_size=4,
+        ))
+    np.testing.assert_allclose(outs["batched"], outs["sequential"], atol=2e-4, rtol=1e-3)
