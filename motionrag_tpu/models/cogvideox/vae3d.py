@@ -121,8 +121,9 @@ class Upsample3D(nn.Module):
         if self.compress_time:
             x = _expand_time(x)
         b, t, h, w, c = x.shape
-        xs = x.reshape(b * t, h, w, c)
-        xs = jax.image.resize(xs, (b * t, h * 2, w * 2, c), method="nearest")
+        from motionrag_tpu.models.diffusion_blocks import nearest_upsample_2x
+
+        xs = nearest_upsample_2x(x.reshape(b * t, h, w, c))
         xs = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(xs)
         return xs.reshape(b, t, h * 2, w * 2, self.channels)
 

@@ -27,6 +27,7 @@ from motionrag_tpu.ops.norms import group_norm
 from motionrag_tpu.ops.posemb import timestep_embedding
 
 __all__ = [
+    "nearest_upsample_2x",
     "Timesteps",
     "TimestepEmbedding",
     "GEGLUFeedForward",
@@ -40,6 +41,14 @@ __all__ = [
     "Downsample2D",
     "Upsample2D",
 ]
+
+
+def nearest_upsample_2x(x):
+    """Fast nearest 2x spatial upsample: broadcast+reshape instead of
+    jax.image.resize (which lowers to slow gathers on TPU)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
 
 
 class Timesteps(nn.Module):
@@ -347,6 +356,5 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nearest_upsample_2x(x)
         return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)

@@ -406,10 +406,9 @@ class UNet3D(nn.Module):
                     if self.temporal_attention:
                         hidden = temporal(ch, f"output_{level}_{i}_temporal")(hidden, t)
                 if level and i == self.num_res_blocks:
-                    bt_, hh, ww, cc = hidden.shape
-                    hidden = jax.image.resize(
-                        hidden, (bt_, hh * 2, ww * 2, cc), method="nearest"
-                    )
+                    from motionrag_tpu.models.diffusion_blocks import nearest_upsample_2x
+
+                    hidden = nearest_upsample_2x(hidden)
                     hidden = nn.Conv(
                         ch, (3, 3), padding=1, dtype=self.dtype, name=f"output_{level}_up"
                     )(hidden)

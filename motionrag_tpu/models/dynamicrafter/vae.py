@@ -40,8 +40,9 @@ class VAEDecoder2D(nn.Module):
             for j in range(self.layers_per_block):
                 x = ResnetBlock2D(out_ch, eps=1e-6, dtype=self.dtype, name=f"up_{i}_res_{j}")(x)
             if i < len(rev) - 1:
-                b, h, w, c = x.shape
-                x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+                from motionrag_tpu.models.diffusion_blocks import nearest_upsample_2x
+
+                x = nearest_upsample_2x(x)
                 x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{i}_upsample")(x)
         ch0 = self.block_out_channels[0]
         s = self.param("norm_out_scale", nn.initializers.ones, (ch0,))

@@ -107,8 +107,9 @@ class TemporalVAEDecoder(nn.Module):
                     out_ch, None, eps=1e-6, dtype=self.dtype, name=f"up_{i}_res_{j}"
                 )(x, None, num_frames)
             if i < len(rev) - 1:
-                bf, h, w, c = x.shape
-                x = jax.image.resize(x, (bf, h * 2, w * 2, c), method="nearest")
+                from motionrag_tpu.models.diffusion_blocks import nearest_upsample_2x
+
+                x = nearest_upsample_2x(x)
                 x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{i}_upsample")(x)
 
         ch0 = self.block_out_channels[0]
