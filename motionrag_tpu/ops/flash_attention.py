@@ -44,6 +44,7 @@ def _ceil_to(x: int, m: int) -> int:
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     *, scale, block_q, block_k, q_len, kv_len, n_kv, causal, with_lse=True,
+    block_k_inner=None,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(1)
@@ -59,38 +60,45 @@ def _fwd_kernel(
     if causal:
         run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
 
+    inner = block_k_inner or block_k
+    n_inner = block_k // inner
+
     @pl.when(run)
     def _body():
         q = q_ref[0]  # [block_q, d]
-        k = k_ref[0]  # [block_k, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s *= scale
+        # unrolled inner loop over kv sub-tiles: Mosaic interleaves the VPU
+        # softmax of chunk i with the MXU matmuls of chunk i+1
+        for sub in range(n_inner):
+            k = k_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s *= scale
 
-        # mask out-of-range KV columns (padding) and causal upper triangle
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
-        mask = col < kv_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, NEG_INF)
+            # mask out-of-range KV columns (padding) and causal upper triangle
+            base = kv_idx * block_k + sub * inner
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, inner), 1) + base
+            mask = col < kv_len
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, inner), 0) + q_idx * block_q
+                mask = jnp.logical_and(mask, col <= row)
+            s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[...]  # [block_q, LANES] (replicated)
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [block_q, LANES]
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+            m_prev = m_scr[...]  # [block_q, LANES] (replicated)
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+            m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [block_q, LANES]
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
 
-        v = v_ref[0]  # [block_k, d]
-        pv = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            v = v_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d]
+            pv = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -113,6 +121,11 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=True):
     vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
     n_q, n_kv = q_pad // block_q, kv_pad // block_k
 
+    import os
+
+    inner = int(os.environ.get("MRT_FLASH_BK_INNER", 0)) or None
+    if inner and block_k % inner:
+        inner = None
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale,
@@ -123,6 +136,7 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=True):
         n_kv=n_kv,
         causal=causal,
         with_lse=with_lse,
+        block_k_inner=inner,
     )
     # lse is only materialized when the backward pass needs it (saves
     # bh*q*128*4 bytes of HBM on the inference path)
