@@ -103,7 +103,16 @@ def bench_svd(small: bool):
         return float(jnp.mean(out.astype(jnp.float32)))
 
     t0 = time.time()
-    run(0)
+    for attempt in range(3):
+        try:
+            run(attempt * 100)
+            break
+        except Exception as e:  # noqa: BLE001
+            # the remote compile service is flaky on very large modules;
+            # the persistent cache makes retries cheap
+            print(f"compile attempt {attempt} failed: {str(e)[:200]}", file=sys.stderr)
+            if attempt == 2:
+                raise
     compile_s = time.time() - t0
 
     t0 = time.time()
