@@ -225,17 +225,23 @@ def main():
     except Exception:  # noqa: BLE001
         pass
 
+    import gc
+
     detail = {}
-    try:
-        detail.update(bench_rag_cama(args.small))
-    except Exception as e:  # noqa: BLE001
-        print(f"rag/cama bench failed: {e}", file=sys.stderr)
-        detail.update({"rag_s": float("nan"), "cama_s": float("nan")})
+    # SVD first: its sampler needs nearly all of HBM; the RAG/CAMA phase's
+    # device residents (1M-row index, encoder params) would otherwise
+    # fragment memory under the 16GB budget
     try:
         detail.update(bench_svd(args.small))
     except Exception as e:  # noqa: BLE001
         print(f"svd bench failed: {e}", file=sys.stderr)
         detail.update({"svd_s_per_video": float("nan")})
+    gc.collect()
+    try:
+        detail.update(bench_rag_cama(args.small))
+    except Exception as e:  # noqa: BLE001
+        print(f"rag/cama bench failed: {e}", file=sys.stderr)
+        detail.update({"rag_s": float("nan"), "cama_s": float("nan")})
 
     total = detail["svd_s_per_video"] + np.nan_to_num(detail.get("rag_s", 0.0)) + np.nan_to_num(
         detail.get("cama_s", 0.0)

@@ -46,8 +46,17 @@ class CogVideoXImageToVideoPipeline:
 
     # -- conditioning ------------------------------------------------------
 
+    @functools.partial(jax.jit, static_argnames=("self",))
     def encode_prompt(self, params, prompt_ids, attention_mask=None):
         return self.text_encoder.apply(params["text_encoder"], prompt_ids, attention_mask)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _encode_image_latent(self, params, img_vid):
+        return self.vae.apply(params["vae"], img_vid.astype(self.dtype), method="encode")
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _decode_latents(self, params, latents):
+        return self.vae.apply(params["vae"], latents.astype(self.dtype), method="decode")
 
     def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None,
                                   do_classifier_free_guidance=False, image=None):
@@ -125,9 +134,7 @@ class CogVideoXImageToVideoPipeline:
 
         # image -> single-frame video latent, zero-padded over time
         img_vid = image.transpose(0, 2, 3, 1)[:, None]  # [b, 1, h, w, 3]
-        img_latent = self.vae.apply(
-            params["vae"], img_vid.astype(self.dtype), method="encode"
-        )  # [b, 1, h/8, w/8, C]
+        img_latent = self._encode_image_latent(params, img_vid)  # [b, 1, h/8, w/8, C]
         f_lat = (num_frames - 1) // 4 + 1
         pad = jnp.zeros(
             (b, f_lat - 1) + img_latent.shape[2:], img_latent.dtype
@@ -151,7 +158,7 @@ class CogVideoXImageToVideoPipeline:
                 action_emb, guidance_scale, num_inference_steps,
                 use_dynamic_cfg, self.scheduler_name,
             )
-            frames = self.vae.apply(params["vae"], latents.astype(self.dtype), method="decode")
+            frames = self._decode_latents(params, latents)
         # [b, f, h, w, 3] -> [b, f, 3, h, w]
         return frames.transpose(0, 1, 4, 2, 3)
 

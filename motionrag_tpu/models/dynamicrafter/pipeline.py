@@ -26,6 +26,10 @@ class DynamiCrafterPipeline:
     def __init__(self, module):
         self.module = module
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _decode_frames(self, params, z):
+        return self.module.vae.apply(params["vae"], z, method="decode")
+
     @functools.partial(jax.jit, static_argnames=("self", "num_steps", "guidance_rescale_f"))
     def _sample(self, params, noise, c_concat, ctx_cond, ctx_uncond, fs,
                 guidance_scale, num_steps: int, guidance_rescale_f: float = 0.0):
@@ -126,9 +130,7 @@ class DynamiCrafterPipeline:
             # per-frame VAE decode (perframe_ae)
             z = latents.astype(jnp.float32) / module.scale_factor
             bz, f, hh, ww, cz = z.shape
-            frames = module.vae.apply(
-                params["vae"], z.reshape(bz * f, hh, ww, cz).astype(dtype), method="decode"
-            )
+            frames = self._decode_frames(params, z.reshape(bz * f, hh, ww, cz).astype(dtype))
         frames = frames.reshape(bz, f, frames.shape[1], frames.shape[2], 3)
         return frames.transpose(0, 1, 4, 2, 3)
 

@@ -57,11 +57,13 @@ class SVDPipeline:
 
     # -- conditioning ------------------------------------------------------
 
+    @functools.partial(jax.jit, static_argnames=("self",))
     def encode_image_clip(self, params, image: jnp.ndarray) -> jnp.ndarray:
         """[-1,1] [b, c, h, w] -> [b, 1, 1024] CLIP image embedding
         (reference ``svd/module.py:74-80``)."""
         return self.image_encoder.apply(params["image_encoder"], image)
 
+    @functools.partial(jax.jit, static_argnames=("self",))
     def encode_image_vae(self, params, image, rng, noise_aug_strength) -> jnp.ndarray:
         """Noise-augmented condition latent, unscaled
         (reference ``svd/module.py:280-296``)."""
@@ -130,16 +132,17 @@ class SVDPipeline:
         denoised = euler_sample_loop(denoise_fn, latents, sigmas, guidance_scale)
         return denoised
 
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _decode_chunk(self, params, chunk, n: int):
+        return self.vae.apply(params["vae"], chunk.astype(self.dtype), n, method="decode")
+
     def _decode(self, params, latents, decode_chunk_size: int):
         b, f, h, w, c = latents.shape
         flat = latents.reshape(b * f, h, w, c)
         chunks = []
         for start in range(0, b * f, decode_chunk_size):
             chunk = flat[start : start + decode_chunk_size]
-            frames = self.vae.apply(
-                params["vae"], chunk.astype(self.dtype), chunk.shape[0], method="decode"
-            )
-            chunks.append(frames)
+            chunks.append(self._decode_chunk(params, chunk, chunk.shape[0]))
         frames = jnp.concatenate(chunks, axis=0)
         fh, fw = frames.shape[1], frames.shape[2]
         return frames.reshape(b, f, fh, fw, 3).transpose(0, 1, 4, 2, 3)
