@@ -387,8 +387,9 @@ def flash_attention(
     *,
     scale: float | None = None,
     causal: bool = False,
-    # tuned on v5e at SVD shapes (b*h=250, s=9216, d=64): 47 TFLOP/s vs
-    # 28 at (256, 512) — bigger q tiles amortize the softmax VPU work.
+    # tuned on v5e at SVD shapes (s=9216, d=64): (512, 1536) measured best
+    # (37 TFLOP/s at bh=125) — grid-step fixed overhead dominates, so
+    # fewer/bigger kv tiles win; inner tiling measured slower.
     # Overridable via MRT_FLASH_BQ / MRT_FLASH_BK for tuning runs.
     block_q: int | None = None,
     block_k: int | None = None,
@@ -405,7 +406,7 @@ def flash_attention(
     if block_q is None:
         block_q = int(os.environ.get("MRT_FLASH_BQ", 512))
     if block_k is None:
-        block_k = int(os.environ.get("MRT_FLASH_BK", 1024))
+        block_k = int(os.environ.get("MRT_FLASH_BK", 1536))
     b, h, sq, d = q.shape
     hk = k.shape[1]
     if hk != h:
