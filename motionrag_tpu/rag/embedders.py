@@ -71,6 +71,9 @@ class HashEmbedder:
 
 
 def get_embedder(name: str = "gte", dim: int = 768) -> TextEmbedder:
+    """'gte', 'hash', or 'hash-<dim>' (e.g. 'hash-32' for tests)."""
+    if name.startswith("hash-"):
+        return HashEmbedder(dim=int(name.split("-", 1)[1]))
     if name == "gte":
         return SentenceTransformerEmbedder(dim=dim)
     if name == "hash":

@@ -228,8 +228,17 @@ class Trainer:
         batch = first_batch
         t0 = time.time()
         while int(jax.device_get(state.step)) < self.max_steps:
+            for cb in self.callbacks:
+                if hasattr(cb, "on_train_batch_start"):
+                    cb.on_train_batch_start(self, module, batch)
             sharded = self._shard_batch(batch)
-            state, metrics = train_step(state, sharded)
+            # only array leaves enter the jitted step (metadata/prompt
+            # strings stay host-side, reference collate keeps them too)
+            jit_batch = {
+                k: v for k, v in sharded.items()
+                if isinstance(v, (jnp.ndarray, np.ndarray))
+            }
+            state, metrics = train_step(state, jit_batch)
             step = int(jax.device_get(state.step))
 
             if step % self.log_every_n_steps == 0:
