@@ -32,7 +32,21 @@ def cli_main(argv=None, run: bool = True):
     ap.add_argument("subcommand", choices=["fit", "test", "validate"], nargs="?")
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument("--ckpt_path", default=None)
+    ap.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force the JAX platform (the JAX_PLATFORMS env var is re-pinned "
+        "by the TPU-tunnel plugin, so an explicit flag is the reliable path "
+        "to a CPU run; must take effect before first backend use)",
+    )
     args, overrides = ap.parse_known_args(argv)
+
+    import os
+
+    platform = args.platform or os.environ.get("MRT_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     from motionrag_tpu.config import apply_overrides, load_yaml
 

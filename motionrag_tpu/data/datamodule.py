@@ -61,6 +61,7 @@ class VideoDataModule:
         rag_db_path: Optional[str] = None,
         rag_table_name: str = "motion_caption",
         text_embedder: str = "gte",
+        image_embedding_dir: Optional[str] = None,
         cache_dir: str = "cache/annotations",
     ):
         self.video_size = tuple(video_size)
@@ -96,6 +97,7 @@ class VideoDataModule:
         self.rag_db_path = rag_db_path
         self.rag_table_name = rag_table_name
         self.text_embedder_name = text_embedder
+        self.image_embedding_dir = image_embedding_dir
         self.cache_dir = Path(cache_dir)
         self.datasets: dict = {}
 
@@ -106,6 +108,7 @@ class VideoDataModule:
             (
                 self.paths[split], type(self.selectors[split]).__name__,
                 self.ref_video_type, self.ref_video_num, self.rag_prompt_type,
+                self.image_embedding_dir,
             )
         )
         digest = hashlib.sha256(key.encode()).hexdigest()[:16]
@@ -156,9 +159,11 @@ class VideoDataModule:
 
     def _attach_rag_refs(self, annotations: list[dict]) -> None:
         """Batched on-device retrieval: embed all query texts, run the exact
-        GEMM top-k in chunks, attach per-sample ref lists."""
+        GEMM top-k in chunks, attach per-sample ref lists. For
+        ``rag_text_image`` the text shortlist (ref_video_num*2+3) is re-ranked
+        by first-frame image similarity and truncated to ref_video_num
+        (reference ``datamodule.py:239-246`` / ``rag.py:101-130``)."""
         from motionrag_tpu.rag.database import RAGDatabase
-        from motionrag_tpu.rag.embedders import get_embedder
 
         db = RAGDatabase(
             self.rag_db_path, self.rag_table_name,
@@ -171,8 +176,14 @@ class VideoDataModule:
             for a, e in zip(need, emb):
                 a["text_embedding"] = e
 
+        text_image = self.ref_video_type == "rag_text_image"
+        img_matrix = None
+        if text_image:
+            self._attach_image_embeddings(annotations)
+            img_matrix = db.store.load_embeddings("image_embedding")  # mmap [N, D]
+
         index = db._index("text_embedding")
-        top_k = self.ref_video_num + 3
+        top_k = self.ref_video_num * 2 + 3 if text_image else self.ref_video_num + 3
         meta = db.store.meta
         chunk = 2048
         for start in range(0, len(annotations), chunk):
@@ -181,22 +192,84 @@ class VideoDataModule:
             exclude = [a.get("video") for a in group]
             dist, idx = index.search(q, top_k, exclude=exclude)
             for a, drow, irow in zip(group, dist, idx):
+                pairs = [(float(d), int(i)) for d, i in zip(drow, irow) if i >= 0]
+                if text_image and pairs:
+                    rows = [i for _, i in pairs]
+                    cand = np.asarray(img_matrix[rows], np.float32)
+                    cand /= np.maximum(
+                        np.linalg.norm(cand, axis=-1, keepdims=True), 1e-8
+                    )
+                    iq = np.asarray(a["image_embedding"], np.float32)
+                    iq /= max(float(np.linalg.norm(iq)), 1e-8)
+                    sims = cand @ iq
+                    order = np.argsort(-sims)[: self.ref_video_num]
+                    pairs = [(1.0 - float(sims[o]), rows[o]) for o in order]
                 refs = []
-                for d, i in zip(drow, irow):
-                    if i < 0:
-                        continue
-                    row = meta.iloc[int(i)]
+                for d, i in pairs:
+                    row = meta.iloc[i]
                     refs.append(
                         {
                             "video": row["video"],
                             "start_sec": float(row["start_sec"]),
                             "end_sec": float(row["end_sec"]),
-                            "_distance": float(d),
+                            "_distance": d,
                         }
                     )
                 a["ref_videos"] = refs
-        # TODO(rag_text_image): image re-rank via db.text_image_search once
-        # eva-clip image embeddings are attached (reference datamodule.py:306)
+
+    def _attach_image_embeddings(self, annotations: list[dict]) -> None:
+        """First-frame image embeddings for text->image re-rank retrieval.
+        The reference loads per-annotation-file sidecars
+        ``data/eva_clip/{stem}.pt`` with rows {'video', 'eva_clip_vision'}
+        (reference ``datamodule.py:306-315``); here any of .pt/.npz/.pkl under
+        ``image_embedding_dir`` works, keyed by video path."""
+        if all("image_embedding" in a for a in annotations):
+            return
+        if self.image_embedding_dir is None:
+            raise ValueError(
+                "ref_video_type='rag_text_image' needs per-sample "
+                "'image_embedding' in the annotations or image_embedding_dir"
+            )
+        table: dict = {}
+        for path in self.paths["train"] + self.paths["val"] + self.paths["test"]:
+            stem = Path(path).stem
+            for suffix in (".pt", ".npz", ".pkl"):
+                side = Path(self.image_embedding_dir) / f"{stem}{suffix}"
+                if not side.exists():
+                    continue
+                if suffix == ".pt":
+                    import torch
+
+                    rows = torch.load(side, map_location="cpu", weights_only=False)
+                    for r in rows:
+                        emb = np.asarray(r["eva_clip_vision"], np.float32)
+                        table[r["video"]] = emb[0] if emb.ndim > 1 else emb
+                elif suffix == ".npz":
+                    data = np.load(side, allow_pickle=True)
+                    for v, e in zip(data["video"], data["embedding"]):
+                        e = np.asarray(e, np.float32)
+                        table[str(v)] = e[0] if e.ndim > 1 else e
+                else:
+                    with side.open("rb") as f:
+                        rows = pickle.load(f)
+                    for r in rows:
+                        emb = np.asarray(r["eva_clip_vision"], np.float32)
+                        table[r["video"]] = emb[0] if emb.ndim > 1 else emb
+                break
+        missing = 0
+        for a in annotations:
+            if "image_embedding" in a:
+                continue
+            emb = table.get(a["video"])
+            if emb is None:
+                missing += 1
+            else:
+                a["image_embedding"] = emb
+        if missing:
+            raise ValueError(
+                f"{missing}/{len(annotations)} annotations have no image "
+                f"embedding in {self.image_embedding_dir}"
+            )
 
     def prepare_data(self) -> None:
         for split in ("train", "val", "test"):

@@ -23,34 +23,83 @@ __all__ = ["DynamiCrafterPipeline", "DynamiCrafterPipelineRef"]
 
 
 class DynamiCrafterPipeline:
-    def __init__(self, module):
+    def __init__(self, module, cfg_mode: str = "sequential"):
         self.module = module
+        # 'batched' = reference-style 2x batch per step (ddim.py:218-237);
+        # 'sequential' = two half-batch UNet calls, identical math, half the
+        # activation peak — needed for 16f 1024x576 on a 16GB-HBM chip
+        self.cfg_mode = cfg_mode
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_frames"))
+    def _conditioning(self, params, video, prompt_ids, neg_ids, num_frames: int):
+        """One jitted conditioning phase (eager op-by-op dispatch through the
+        device tunnel dominated wall-clock before; see SVD pipeline note)."""
+        module = self.module
+        b = video.shape[0]
+        image = video[:, 0]
+        z_cond = module.encode_first_stage(params, image[:, None])  # [b,1,h/8,w/8,4]
+        c_concat = jnp.broadcast_to(z_cond, (b, num_frames) + z_cond.shape[2:])
+        prompt = module.text_encoder.apply(
+            params["text_encoder"], jnp.asarray(prompt_ids)
+        )
+        # empty-prompt slot; reference uses the encoded empty string
+        uncond_prompt = (
+            jnp.zeros_like(prompt)
+            if neg_ids is None
+            else module.text_encoder.apply(params["text_encoder"], neg_ids)
+        )
+        image_ctx = module.image_context(params, image)
+        uncond_image_ctx = module.image_context(params, jnp.zeros_like(image))
+        return c_concat, prompt, uncond_prompt, image_ctx, uncond_image_ctx
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _decode_frames(self, params, z):
         return self.module.vae.apply(params["vae"], z, method="decode")
+
+    def _decode_chunked(self, params, z, chunk: int):
+        """perframe_ae-style decode (reference ``ddpm3d.py:676-685`` decodes
+        frame-by-frame): at 1024x576 a single 16-frame decode needs ~19 GB of
+        decoder activations — chunking bounds the peak."""
+        outs = [
+            self._decode_frames(params, z[i : i + chunk])
+            for i in range(0, z.shape[0], chunk)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     @functools.partial(jax.jit, static_argnames=("self", "num_steps", "guidance_rescale_f"))
     def _sample(self, params, noise, c_concat, ctx_cond, ctx_uncond, fs,
                 guidance_scale, num_steps: int, guidance_rescale_f: float = 0.0):
         module = self.module
 
+        def unet_call(x, t, ctx):
+            b = x.shape[0]
+            unet_in = jnp.concatenate(
+                [x.astype(module.dtype), c_concat.astype(module.dtype)], axis=-1
+            )
+            return module.unet.apply(
+                params["unet"], unet_in, jnp.broadcast_to(t, (b,)), ctx, fs=fs
+            )
+
         def denoise_fn(x, t):
             b = x.shape[0]
-            x2 = jnp.concatenate([x, x], axis=0)
-            cc2 = jnp.concatenate([c_concat, c_concat], axis=0)
-            unet_in = jnp.concatenate(
-                [x2.astype(module.dtype), cc2.astype(module.dtype)], axis=-1
-            )
-            ctx2 = {}
-            for key in ("prompt", "image", "action"):
-                c, u = ctx_cond.get(key), ctx_uncond.get(key)
-                ctx2[key] = None if c is None else jnp.concatenate([c, u], axis=0)
-            fs2 = jnp.concatenate([fs, fs], axis=0)
-            pred = module.unet.apply(
-                params["unet"], unet_in, jnp.broadcast_to(t, (2 * b,)), ctx2, fs=fs2
-            )
-            return pred[:b], pred[b:]
+            if self.cfg_mode == "batched":
+                x2 = jnp.concatenate([x, x], axis=0)
+                cc2 = jnp.concatenate([c_concat, c_concat], axis=0)
+                unet_in = jnp.concatenate(
+                    [x2.astype(module.dtype), cc2.astype(module.dtype)], axis=-1
+                )
+                ctx2 = {}
+                for key in ("prompt", "image", "action"):
+                    c, u = ctx_cond.get(key), ctx_uncond.get(key)
+                    ctx2[key] = None if c is None else jnp.concatenate([c, u], axis=0)
+                fs2 = jnp.concatenate([fs, fs], axis=0)
+                pred = module.unet.apply(
+                    params["unet"], unet_in, jnp.broadcast_to(t, (2 * b,)), ctx2, fs=fs2
+                )
+                return pred[:b], pred[b:]
+            pred_c = unet_call(x, t, ctx_cond)
+            pred_u = unet_call(x, t, ctx_uncond)
+            return pred_c, pred_u
 
         return ddim_sample(
             module.schedule, denoise_fn, noise, num_steps,
@@ -70,6 +119,7 @@ class DynamiCrafterPipeline:
         unconditional_guidance_scale: float = 7.5,
         guidance_rescale: float = 0.7,
         fs: float | None = None,
+        decode_chunk_size: int = 4,
         **unused: Any,
     ) -> jnp.ndarray:
         """batch: {'video' [-1,1] [b,f,c,h,w], 'prompt_ids', 'ref_videos'?}
@@ -80,22 +130,13 @@ class DynamiCrafterPipeline:
         image = video[:, 0]
         rng_lat, rng_act = jax.random.split(rng)
 
-        # conditioning frame latent, repeated over frames
-        z_cond = module.encode_first_stage(params, image[:, None])  # [b,1,h/8,w/8,4]
-        c_concat = jnp.broadcast_to(
-            z_cond, (b, num_frames) + z_cond.shape[2:]
-        )
-
-        prompt = module.text_encoder.apply(
-            params["text_encoder"], jnp.asarray(batch["prompt_ids"])
-        )
-        uncond_prompt = jnp.zeros_like(prompt)  # empty-prompt embedding slot
-        if "negative_prompt_ids" in batch:
-            uncond_prompt = module.text_encoder.apply(
-                params["text_encoder"], jnp.asarray(batch["negative_prompt_ids"])
+        neg_ids = batch.get("negative_prompt_ids")
+        c_concat, prompt, uncond_prompt, image_ctx, uncond_image_ctx = (
+            self._conditioning(
+                params, video, jnp.asarray(batch["prompt_ids"]),
+                None if neg_ids is None else jnp.asarray(neg_ids), num_frames,
             )
-        image_ctx = module.image_context(params, image)
-        uncond_image_ctx = module.image_context(params, jnp.zeros_like(image))
+        )
 
         action = module.action_context(params, batch, rng_act)
         uncond_action = None
@@ -130,7 +171,9 @@ class DynamiCrafterPipeline:
             # per-frame VAE decode (perframe_ae)
             z = latents.astype(jnp.float32) / module.scale_factor
             bz, f, hh, ww, cz = z.shape
-            frames = self._decode_frames(params, z.reshape(bz * f, hh, ww, cz).astype(dtype))
+            frames = self._decode_chunked(
+                params, z.reshape(bz * f, hh, ww, cz).astype(dtype), decode_chunk_size
+            )
         frames = frames.reshape(bz, f, frames.shape[1], frames.shape[2], 3)
         return frames.transpose(0, 1, 4, 2, 3)
 

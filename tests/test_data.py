@@ -179,3 +179,99 @@ def test_datamodule_prepare_with_rag(video_dir, tmp_path):
     refs = batch["metadata"][0]["annotation"]["ref_videos"]
     own = batch["metadata"][0]["annotation"]["video"]
     assert refs and all(r["video"] != own for r in refs)
+
+
+def test_datamodule_prepare_rag_text_image(video_dir, tmp_path):
+    """rag_text_image: text shortlist (2k+3) re-ranked by first-frame image
+    similarity, truncated to ref_video_num (reference datamodule.py:239-246)."""
+    from motionrag_tpu.data.datamodule import VideoDataModule
+    from motionrag_tpu.rag.build import build_database
+    from motionrag_tpu.rag.embedders import HashEmbedder
+
+    rng = np.random.default_rng(3)
+    d = 32
+    vids = ["a.mp4", "b.mp4", "c.mp4"] * 5
+    db_annos = [
+        {
+            "motion_caption": f"motion {i}", "video": v,
+            "start_sec": 0.0, "end_sec": 4.0,
+            "image_embedding": rng.standard_normal(d).astype(np.float32),
+        }
+        for i, v in enumerate(vids)
+    ]
+    build_database(
+        db_annos, tmp_path / "db", "motion_caption",
+        embedder=HashEmbedder(dim=d), image_embedding_key="image_embedding",
+    )
+
+    import json
+
+    anno_path = tmp_path / "train.json"
+    anno_path.write_text(json.dumps(
+        [{"video": v, "start_sec": 0.0, "end_sec": 4.0, "id": i,
+          "llm_caption": f"caption {i}", "motion": f"motion {i}"}
+         for i, v in enumerate(["a.mp4", "b.mp4", "c.mp4"])]
+    ))
+    # sidecar image embeddings keyed by video (reference eva_clip/{stem}.pt)
+    side_dir = tmp_path / "imgemb"
+    side_dir.mkdir()
+    np.savez(
+        side_dir / "train.npz",
+        video=np.array(["a.mp4", "b.mp4", "c.mp4"]),
+        embedding=rng.standard_normal((3, d)).astype(np.float32),
+    )
+
+    dm = VideoDataModule(
+        video_size=(32, 48), video_length=4, video_dir=str(video_dir),
+        train_annotation_path=[str(anno_path)],
+        train_clip_selector=AllSelector(),
+        ref_video_type="rag_text_image", ref_video_num=2,
+        rag_prompt_type="motion",
+        rag_db_path=str(tmp_path / "db"), rag_table_name="motion_caption",
+        image_embedding_dir=str(side_dir),
+        train_batch_size=1, num_workers=1,
+        cache_dir=str(tmp_path / "cache"),
+    )
+    from motionrag_tpu.rag.embedders import HashEmbedder as HE
+
+    dm.text_embedder_name = HE(dim=d)
+    dm.prepare_data()
+    annos = dm.prepare_annotations("train")
+    for a in annos:
+        refs = a["ref_videos"]
+        assert len(refs) == 2  # truncated to ref_video_num after re-rank
+        assert all(r["video"] != a["video"] for r in refs)
+        dists = [r["_distance"] for r in refs]
+        assert dists == sorted(dists)  # image-similarity order
+
+
+def test_datamodule_rag_text_image_missing_embeddings(video_dir, tmp_path):
+    from motionrag_tpu.data.datamodule import VideoDataModule
+    from motionrag_tpu.rag.build import build_database
+    from motionrag_tpu.rag.embedders import HashEmbedder
+
+    build_database(
+        [{"motion_caption": "m", "video": "a.mp4", "start_sec": 0.0, "end_sec": 4.0,
+          "image_embedding": np.ones(8, np.float32)}],
+        tmp_path / "db", "motion_caption",
+        embedder=HashEmbedder(dim=8), image_embedding_key="image_embedding",
+    )
+    import json
+
+    anno_path = tmp_path / "train.json"
+    anno_path.write_text(json.dumps(
+        [{"video": "a.mp4", "start_sec": 0.0, "end_sec": 4.0, "motion": "m"}]
+    ))
+    dm = VideoDataModule(
+        video_dir=str(video_dir), train_annotation_path=[str(anno_path)],
+        train_clip_selector=AllSelector(),
+        ref_video_type="rag_text_image", ref_video_num=1,
+        rag_prompt_type="motion",
+        rag_db_path=str(tmp_path / "db"), rag_table_name="motion_caption",
+        cache_dir=str(tmp_path / "cache"),
+    )
+    from motionrag_tpu.rag.embedders import HashEmbedder as HE
+
+    dm.text_embedder_name = HE(dim=8)
+    with pytest.raises(ValueError, match="image_embedding"):
+        dm.prepare_annotations("train")
