@@ -21,6 +21,15 @@ __all__ = ["dot_product_attention", "block_causal_mask"]
 
 # below this q*kv size the pallas launch overhead outweighs the win
 _FLASH_MIN_SEQ = 1024
+# at/below this sequence length (with a big batch) the fused VPU temporal
+# kernel is applicable (opt-in; see dispatch comment below)
+_TEMPORAL_MAX_SEQ = 32
+
+
+def _TEMPORAL_KERNEL_OPT_IN() -> bool:
+    import os
+
+    return os.environ.get("MRT_TEMPORAL_KERNEL", "") == "1"
 
 
 def _xla_attention(q, k, v, scale, mask, causal):
@@ -61,6 +70,28 @@ def dot_product_attention(
     skv = k.shape[1]
     if scale is None:
         scale = d ** -0.5
+
+    # tiny-sequence / huge-batch attention (video temporal blocks). The
+    # fused VPU kernel (ops/temporal_attention.py) avoids the MXU tile
+    # padding of the XLA lowering, but on v5e a Mosaic restriction (exp/max/
+    # divide miscompile on lane-1 tensors) forces lane-replicated score
+    # tensors, and the measured result is 5.2ms vs XLA's 3.6ms at
+    # DynamiCrafter L0 shapes — so it stays opt-in (MRT_TEMPORAL_KERNEL=1)
+    # pending a layout that beats XLA.
+    if (
+        _TEMPORAL_KERNEL_OPT_IN()
+        and mask is None
+        and not causal
+        and k.shape[2] == h
+        and sq <= _TEMPORAL_MAX_SEQ
+        and skv <= _TEMPORAL_MAX_SEQ
+        and b >= 1024
+        and jax.default_backend() == "tpu"
+        and use_flash is None
+    ):
+        from motionrag_tpu.ops.temporal_attention import small_seq_attention
+
+        return small_seq_attention(q, k, v, scale=scale)
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)

@@ -182,3 +182,32 @@ def test_layer_norm_and_rms_norm(rng):
     out = np.asarray(rms_norm(jnp.asarray(x)))
     ref = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6)
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tq,tkv,h,d", [(16, 16, 5, 64), (25, 25, 8, 32), (4, 16, 2, 64)])
+def test_small_seq_attention_matches_reference(rng, tq, tkv, h, d):
+    from motionrag_tpu.ops.temporal_attention import small_seq_attention
+
+    n = 300  # not a block multiple: exercises padding
+    q = jax.random.normal(jax.random.key(0), (n, tq, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (n, tkv, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (n, tkv, h, d), jnp.float32)
+
+    out = small_seq_attention(q, k, v, block_n=128, interpret=True)
+    ref = dot_product_attention(q, k, v, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_small_seq_attention_bf16(rng):
+    from motionrag_tpu.ops.temporal_attention import small_seq_attention
+
+    n, t, h, d = 256, 16, 5, 64
+    q = jax.random.normal(jax.random.key(3), (n, t, h, d)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(4), (n, t, h, d)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(5), (n, t, h, d)).astype(jnp.bfloat16)
+    out = small_seq_attention(q, k, v, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = dot_product_attention(q, k, v, use_flash=False)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
+    )
