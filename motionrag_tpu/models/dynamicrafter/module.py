@@ -54,6 +54,7 @@ class DynamiCrafterModule:
         rand_cond_frame: bool = True,
         uncond_prob: float = 0.05,
         frame_stride: int = 10,
+        cfg_mode: str = "sequential",
         eval_pipeline_call_kwargs: dict | None = None,
         freeze_modules=("vae", "text_encoder", "image_encoder"),
         full_trainable_modules=(),
@@ -75,6 +76,7 @@ class DynamiCrafterModule:
             use_dynamic_rescale=use_dynamic_rescale,
             base_scale=base_scale,
         )
+        self.cfg_mode = cfg_mode
         self.rand_cond_frame = rand_cond_frame
         self.uncond_prob = uncond_prob
         self.frame_stride = frame_stride
@@ -87,7 +89,7 @@ class DynamiCrafterModule:
         self.pipe = self.build_pipeline()
 
     def build_pipeline(self):
-        return DynamiCrafterPipeline(self)
+        return DynamiCrafterPipeline(self, cfg_mode=self.cfg_mode)
 
     # -- init --------------------------------------------------------------
 

@@ -65,7 +65,9 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _body():
-        q = q_ref[0]  # [block_q, d]
+        # fold the softmax scale into q once per q-tile ([block_q, d] — tiny)
+        # instead of a full [block_q, block_k] VPU pass per kv step
+        q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
         # unrolled inner loop over kv sub-tiles: Mosaic interleaves the VPU
         # softmax of chunk i with the MXU matmuls of chunk i+1
         for sub in range(n_inner):
@@ -73,16 +75,23 @@ def _fwd_kernel(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            s *= scale
 
-            # mask out-of-range KV columns (padding) and causal upper triangle
-            base = kv_idx * block_k + sub * inner
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, inner), 1) + base
-            mask = col < kv_len
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, (block_q, inner), 0) + q_idx * block_q
-                mask = jnp.logical_and(mask, col <= row)
-            s = jnp.where(mask, s, NEG_INF)
+            # mask out-of-range KV columns (padding) and the causal upper
+            # triangle. When kv_len is an exact multiple of block_k (the
+            # common video-model case) and attention is dense, there is
+            # nothing to mask — skipping saves ~3 full-tile VPU passes per
+            # kv step (statically known at trace time).
+            if causal or (kv_len % block_k):
+                base = kv_idx * block_k + sub * inner
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, inner), 1) + base
+                mask = col < kv_len
+                if causal:
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (block_q, inner), 0)
+                        + q_idx * block_q
+                    )
+                    mask = jnp.logical_and(mask, col <= row)
+                s = jnp.where(mask, s, NEG_INF)
 
             m_prev = m_scr[...]  # [block_q, LANES] (replicated)
             l_prev = l_scr[...]
@@ -281,6 +290,13 @@ def _dkv_kernel(
 
 
 def _bwd_impl(q, k, v, out, lse, do, scale, causal, block_q, block_k, interpret):
+    # the dq/dkv kernels carry more live VMEM than the forward (recomputed P
+    # plus dK/dV scratch); the forward's larger tiles exceed the 16MB
+    # scoped-VMEM stack here, so clamp to the bwd-safe tile sizes
+    import os
+
+    block_q = int(os.environ.get("MRT_FLASH_BWD_BQ", 0)) or min(block_q, 512)
+    block_k = int(os.environ.get("MRT_FLASH_BWD_BK", 0)) or min(block_k, 1536)
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
     q_pad = _ceil_to(q_len, block_q)
@@ -387,9 +403,11 @@ def flash_attention(
     *,
     scale: float | None = None,
     causal: bool = False,
-    # tuned on v5e at SVD shapes (s=9216, d=64): (512, 1536) measured best
-    # (37 TFLOP/s at bh=125) — grid-step fixed overhead dominates, so
-    # fewer/bigger kv tiles win; inner tiling measured slower.
+    # v5e-tuned defaults (d=64 video-UNet shapes, re-measured after the
+    # scale-fold + static-mask-skip optimizations):
+    #   s=9216: (1024, 1536) -> 74.8 TFLOP/s (was (512,1536) at 64)
+    #   s=2304: whole-row kv (512, 2304) -> 53.7 TFLOP/s (was 38.7)
+    # Larger tiles (2048x1536, 1024x4608) exceed the 16MB scoped-VMEM stack.
     # Overridable via MRT_FLASH_BQ / MRT_FLASH_BK for tuning runs.
     block_q: int | None = None,
     block_k: int | None = None,
@@ -403,11 +421,22 @@ def flash_attention(
     """
     import os
 
-    if block_q is None:
-        block_q = int(os.environ.get("MRT_FLASH_BQ", 512))
-    if block_k is None:
-        block_k = int(os.environ.get("MRT_FLASH_BK", 1536))
     b, h, sq, d = q.shape
+    if block_k is None:
+        block_k = int(os.environ.get("MRT_FLASH_BK", 0))
+        if not block_k:
+            kv_padded = _ceil_to(k.shape[2], LANES)
+            # one whole-row kv block when it fits the scoped-VMEM budget
+            # (no inter-block m/l carries, no edge masking)
+            block_k = kv_padded if kv_padded <= 2304 else 1536
+    if block_q is None:
+        # (1024, 1536) and (512, 2304) both fit the 16MB scoped-VMEM stack
+        # at d<=128; (1024, 2304) sits at ~18MB and fails. Large head dims
+        # (e.g. the VAE mid-attention, d=512) grow the q/acc tiles 8x — halve
+        # block_q to stay under the limit.
+        block_q = int(os.environ.get("MRT_FLASH_BQ", 0))
+        if not block_q:
+            block_q = 512 if (block_k > 1536 or q.shape[3] > 128) else 1024
     hk = k.shape[1]
     if hk != h:
         assert h % hk == 0, f"GQA heads mismatch: {h} vs {hk}"

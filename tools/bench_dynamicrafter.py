@@ -27,6 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--cfg-mode", default="sequential", choices=["sequential", "batched"])
     args = ap.parse_args()
 
     import jax
@@ -60,7 +61,7 @@ def main():
         )
     else:
         h, w, f, steps = 576, 1024, 16, args.steps
-        module = DynamiCrafterModule(dtype=dtype)  # DynamiCrafter_1024 scale
+        module = DynamiCrafterModule(dtype=dtype, cfg_mode=args.cfg_mode)  # DynamiCrafter_1024 scale
 
     batch = {
         "video": jnp.zeros((1, f, 3, h, w), dtype),
