@@ -168,8 +168,17 @@ class SpatialTransformer3D(nn.Module):
 
 
 class TemporalTransformer3D(nn.Module):
-    """Per-pixel temporal self-attention (reference ``attention.py:395-445``;
-    only_self_att=True in the shipped configs)."""
+    """Per-pixel temporal transformer (reference ``attention.py:395-445``).
+
+    Parity notes (verified against the vendored lvdm source):
+      - hidden runs at ``inner = heads * dim_head`` between proj_in/proj_out
+        (``attention.py``: inner_dim projection). For the per-level blocks
+        inner == channels; the ``init_attn`` block uses 8 heads x 64 = 512
+        over 320 channels.
+      - each depth runs attn1 AND attn2 + FF (lvdm BasicTransformerBlock
+        ``_forward`` always runs attn2; with only_self_att and no action
+        branch its context_dim is None, i.e. a second self-attention).
+    """
 
     channels: int
     heads: int
@@ -182,6 +191,7 @@ class TemporalTransformer3D(nn.Module):
     def __call__(self, x, num_frames: int):
         bt, h, w, c = x.shape
         b = bt // num_frames
+        inner = self.heads * self.dim_head
         residual = x
         scale = self.param("norm_scale", nn.initializers.ones, (c,))
         bias = self.param("norm_bias", nn.initializers.zeros, (c,))
@@ -189,23 +199,28 @@ class TemporalTransformer3D(nn.Module):
         # [(b t), h, w, c] -> [(b h w), t, c]
         hidden = hidden.reshape(b, num_frames, h * w, c).transpose(0, 2, 1, 3)
         hidden = hidden.reshape(b * h * w, num_frames, c)
-        hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)
+        hidden = nn.Dense(inner, dtype=self.dtype, name="proj_in")(hidden)
         for i in range(self.depth):
-            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"blocks_{i}_norm1")
-            attn = LVDMCrossAttention(
-                c, None, self.heads, self.dim_head, dtype=self.dtype, name=f"blocks_{i}_attn1"
-            )
-            hidden = hidden + attn(ln(hidden))
+            for attn_name, ln_name in ((f"blocks_{i}_attn1", f"blocks_{i}_norm1"),
+                                       (f"blocks_{i}_attn2", f"blocks_{i}_norm2")):
+                ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=ln_name)
+                attn = LVDMCrossAttention(
+                    inner, None, self.heads, self.dim_head, dtype=self.dtype, name=attn_name
+                )
+                hidden = hidden + attn(ln(hidden))
             ln3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"blocks_{i}_norm3")
-            hidden = hidden + GEGLUFeedForward(c, dtype=self.dtype, name=f"blocks_{i}_ff")(ln3(hidden))
-        hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
+            hidden = hidden + GEGLUFeedForward(inner, dtype=self.dtype, name=f"blocks_{i}_ff")(ln3(hidden))
+        hidden = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
+        )(hidden)
         hidden = hidden.reshape(b, h * w, num_frames, c).transpose(0, 2, 1, 3)
         return hidden.reshape(bt, h, w, c) + residual
 
 
 class TemporalConvBlock(nn.Module):
-    """(3,1,1) temporal conv stack with zero-init last conv
-    (lvdm TemporalConvBlock; enabled via ``temporal_conv: true``)."""
+    """Four-stage (3,1,1) temporal conv block with zero-init conv4
+    (lvdm TemporalConvBlock, 4x [GN-SiLU-Conv3d] + identity; enabled via
+    ``temporal_conv: true``; the reference's modelscope-derived block)."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
@@ -216,19 +231,16 @@ class TemporalConvBlock(nn.Module):
         b = bt // num_frames
         xt = x.reshape(b, num_frames, h, w, c)
         residual = xt
-        s1 = self.param("norm1_scale", nn.initializers.ones, (c,))
-        b1 = self.param("norm1_bias", nn.initializers.zeros, (c,))
-        hid = group_norm(xt, 32, s1, b1, act="silu")
-        hid = nn.Conv(
-            c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)), dtype=self.dtype, name="conv1"
-        )(hid)
-        s2 = self.param("norm2_scale", nn.initializers.ones, (c,))
-        b2 = self.param("norm2_bias", nn.initializers.zeros, (c,))
-        hid = group_norm(hid, 32, s2, b2, act="silu")
-        hid = nn.Conv(
-            c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
-            kernel_init=nn.initializers.zeros, dtype=self.dtype, name="conv2",
-        )(hid)
+        hid = xt
+        for idx in (1, 2, 3, 4):
+            s = self.param(f"norm{idx}_scale", nn.initializers.ones, (c,))
+            bb = self.param(f"norm{idx}_bias", nn.initializers.zeros, (c,))
+            hid = group_norm(hid, 32, s, bb, act="silu")
+            hid = nn.Conv(
+                c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                kernel_init=nn.initializers.zeros if idx == 4 else nn.initializers.lecun_normal(),
+                dtype=self.dtype, name=f"conv{idx}",
+            )(hid)
         return (residual + hid).reshape(bt, h, w, c)
 
 
@@ -254,7 +266,11 @@ class LVDMResBlock(nn.Module):
         s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
         b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
         h = group_norm(h, 32, s2, b2, act="silu")
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        # zero-init out conv (lvdm zero_module(out_layers[-1]))
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1,
+            kernel_init=nn.initializers.zeros, dtype=self.dtype, name="conv2",
+        )(h)
         if in_ch != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(residual)
         h = h + residual

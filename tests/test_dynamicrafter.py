@@ -40,12 +40,20 @@ def test_unet3d_forward_and_branches():
         "action": jnp.ones((b, 5, 32)) * 0.4,
     }
     params = unet.init(jax.random.key(0), x, jnp.zeros((b,)), ctx)
-    # conv_out is zero-init (lvdm zero_module) -> randomize so effects show
-    kernel = params["params"]["conv_out"]["kernel"]
+    # several convs are zero-init for lvdm parity (conv_out, every resblock
+    # out conv, temporal conv4, temporal-transformer proj_out) -> randomize
+    # them so conditioning effects are observable at "init"
     params = jax.tree_util.tree_map(lambda v: v, params)
-    params["params"]["conv_out"]["kernel"] = jax.random.normal(
-        jax.random.key(9), kernel.shape
-    ) * 0.1
+
+    def _randomize_zeros(tree, key=[0]):
+        for name, sub in tree.items():
+            if isinstance(sub, dict):
+                _randomize_zeros(sub, key)
+            elif name == "kernel" and not np.any(np.asarray(sub)):
+                key[0] += 1
+                tree[name] = jax.random.normal(jax.random.key(key[0]), sub.shape) * 0.1
+
+    _randomize_zeros(params["params"])
     out = unet.apply(params, x, jnp.asarray([500.0]), ctx)
     assert out.shape == (b, t, h, w, 4)
 
