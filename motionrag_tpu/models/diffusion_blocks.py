@@ -75,14 +75,19 @@ class Timesteps(nn.Module):
 
 
 class TimestepEmbedding(nn.Module):
-    """Linear -> SiLU -> Linear timestep MLP."""
+    """Linear -> SiLU -> Linear timestep MLP.
+
+    ``inner_dim`` defaults to ``dim`` (lvdm time_embed/fps_embedding style);
+    diffusers' TransformerSpatioTemporal.time_pos_embed uses inner 4x
+    (TimestepEmbedding(in_channels, in_channels * 4, out_dim=in_channels))."""
 
     dim: int
+    inner_dim: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, emb):
-        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.Dense(self.inner_dim or self.dim, dtype=self.dtype, name="linear_1")(emb)
         emb = nn.silu(emb)
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
 

@@ -74,9 +74,9 @@ class TransformerSpatioTemporal(nn.Module):
         # frame-position embedding for the temporal mixing block
         t_ids = jnp.arange(num_frames, dtype=jnp.float32)
         t_emb = Timesteps(c, flip_sin_to_cos=True)(t_ids)
-        t_emb = TimestepEmbedding(c, dtype=self.dtype, name="time_pos_embed")(
-            t_emb.astype(self.dtype)
-        )  # [f, c]
+        t_emb = TimestepEmbedding(
+            c, inner_dim=4 * c, dtype=self.dtype, name="time_pos_embed"
+        )(t_emb.astype(self.dtype))  # [f, c]
 
         # temporal cross-attn context: first frame's context per batch elem
         time_context = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
