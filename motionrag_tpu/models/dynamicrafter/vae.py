@@ -64,6 +64,9 @@ class AutoencoderKL2D(nn.Module):
             self.latent_channels, self.block_out_channels, dtype=self.dtype
         )
         self.decoder = VAEDecoder2D(3, self.block_out_channels, dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(
+            self.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv"
+        )
 
     def encode(self, images: jnp.ndarray, rng=None) -> jnp.ndarray:
         """[(b f), h, w, 3] -> latent mode/sample [(b f), h/8, w/8, z]
@@ -77,7 +80,10 @@ class AutoencoderKL2D(nn.Module):
         return mean
 
     def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
-        return self.decoder(latents)
+        # lvdm AutoencoderKL.decode: z = post_quant_conv(z) before the
+        # decoder (autoencoder.py; CompVis convention)
+        z = self.post_quant_conv(latents)
+        return self.decoder(z)
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.decode(self.encode(images))

@@ -21,7 +21,10 @@ import numpy as np
 
 __all__ = [
     "port_cogvideox_transformer",
+    "port_svd_unet",
     "port_svd_unet_partial",
+    "port_lvdm_unet3d",
+    "port_autoencoder_kl",
     "report_unconsumed",
 ]
 
@@ -214,6 +217,428 @@ def port_svd_unet_partial(sd: dict, strict: bool = False) -> dict:
         if c.has(f"mid_block.resnets.{j}.spatial_res_block.norm1.weight"):
             p[f"mid_block_resnets_{j}"] = _port_spatiotemporal_res(c, f"mid_block.resnets.{j}")
 
+    if strict:
+        report_unconsumed(c)
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# lvdm (DynamiCrafter) UNet3D — key names verified against the vendored
+# reference source (lvdm/modules/networks/openaimodel3d.py, attention.py)
+# ---------------------------------------------------------------------------
+
+
+def _port_lvdm_attention(c, pre, ours: dict):
+    """lvdm CrossAttention -> LVDMCrossAttention leaves."""
+    ours["to_q"] = {"kernel": _t(c(f"{pre}.to_q.weight"))}
+    ours["to_k"] = {"kernel": _t(c(f"{pre}.to_k.weight"))}
+    ours["to_v"] = {"kernel": _t(c(f"{pre}.to_v.weight"))}
+    ours["to_out"] = _linear(c, f"{pre}.to_out.0")
+    for extra in ("to_k_ip", "to_v_ip", "to_q_a", "to_k_a", "to_v_a"):
+        if c.has(f"{pre}.{extra}.weight"):
+            ours[extra] = {"kernel": _t(c(f"{pre}.{extra}.weight"))}
+    for scalar in ("alpha", "alpha_action"):
+        if c.has(f"{pre}.{scalar}"):
+            ours[scalar] = c(f"{pre}.{scalar}")
+    return ours
+
+
+def _port_lvdm_txblock(c, pre):
+    """lvdm BasicTransformerBlock -> LVDMTransformerBlock / temporal block
+    leaves (norm1+attn1, norm2+attn2, norm3+ff)."""
+    out = {
+        "norm1": _ln(c, f"{pre}.norm1"),
+        "norm2": _ln(c, f"{pre}.norm2"),
+        "norm3": _ln(c, f"{pre}.norm3"),
+        "attn1": _port_lvdm_attention(c, f"{pre}.attn1", {}),
+        "attn2": _port_lvdm_attention(c, f"{pre}.attn2", {}),
+        "ff": {
+            "net_0_proj": _linear(c, f"{pre}.ff.net.0.proj"),
+            "net_2": _linear(c, f"{pre}.ff.net.2"),
+        },
+    }
+    return out
+
+
+def _port_lvdm_spatial(c, pre, depth=1):
+    """lvdm SpatialTransformer (use_linear=True) -> SpatialTransformer3D."""
+    p = {
+        "norm_scale": c(f"{pre}.norm.weight"),
+        "norm_bias": c(f"{pre}.norm.bias"),
+        "proj_in": _linear(c, f"{pre}.proj_in"),
+        "proj_out": _linear(c, f"{pre}.proj_out"),
+    }
+    for k in range(depth):
+        p[f"blocks_{k}"] = _port_lvdm_txblock(c, f"{pre}.transformer_blocks.{k}")
+    return p
+
+
+def _port_lvdm_temporal(c, pre, depth=1):
+    """lvdm TemporalTransformer (use_linear=True) -> TemporalTransformer3D
+    (flat blocks_{k}_* naming)."""
+    p = {
+        "norm_scale": c(f"{pre}.norm.weight"),
+        "norm_bias": c(f"{pre}.norm.bias"),
+        "proj_in": _linear(c, f"{pre}.proj_in"),
+        "proj_out": _linear(c, f"{pre}.proj_out"),
+    }
+    for k in range(depth):
+        blk = _port_lvdm_txblock(c, f"{pre}.transformer_blocks.{k}")
+        p[f"blocks_{k}_norm1"] = blk["norm1"]
+        p[f"blocks_{k}_norm2"] = blk["norm2"]
+        p[f"blocks_{k}_norm3"] = blk["norm3"]
+        p[f"blocks_{k}_attn1"] = blk["attn1"]
+        p[f"blocks_{k}_attn2"] = blk["attn2"]
+        p[f"blocks_{k}_ff"] = blk["ff"]
+    return p
+
+
+def _port_lvdm_resblock(c, pre, temporal_conv=True):
+    """lvdm ResBlock (+TemporalConvBlock; note the reference's 'temopral'
+    typo in the checkpoint keys)."""
+    p = {
+        "norm1_scale": c(f"{pre}.in_layers.0.weight"),
+        "norm1_bias": c(f"{pre}.in_layers.0.bias"),
+        "conv1": {
+            "kernel": _conv(c(f"{pre}.in_layers.2.weight")),
+            "bias": c(f"{pre}.in_layers.2.bias"),
+        },
+        "emb_proj": _linear(c, f"{pre}.emb_layers.1"),
+        "norm2_scale": c(f"{pre}.out_layers.0.weight"),
+        "norm2_bias": c(f"{pre}.out_layers.0.bias"),
+        "conv2": {
+            "kernel": _conv(c(f"{pre}.out_layers.3.weight")),
+            "bias": c(f"{pre}.out_layers.3.bias"),
+        },
+    }
+    if c.has(f"{pre}.skip_connection.weight"):
+        p["skip"] = {
+            "kernel": _conv(c(f"{pre}.skip_connection.weight")),
+            "bias": c(f"{pre}.skip_connection.bias"),
+        }
+    if temporal_conv and c.has(f"{pre}.temopral_conv.conv1.0.weight"):
+        t = {}
+        for idx, conv_pos in ((1, 2), (2, 3), (3, 3), (4, 3)):
+            t[f"norm{idx}_scale"] = c(f"{pre}.temopral_conv.conv{idx}.0.weight")
+            t[f"norm{idx}_bias"] = c(f"{pre}.temopral_conv.conv{idx}.0.bias")
+            t[f"conv{idx}"] = {
+                "kernel": _conv(c(f"{pre}.temopral_conv.conv{idx}.{conv_pos}.weight")),
+                "bias": c(f"{pre}.temopral_conv.conv{idx}.{conv_pos}.bias"),
+            }
+        p["temporal"] = t
+    return p
+
+
+def port_lvdm_unet3d(
+    sd: dict,
+    channel_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_levels=(0, 1, 2),   # ds in attention_resolutions (4,2,1)
+    temporal_attention: bool = True,
+    transformer_depth: int = 1,
+    strict: bool = True,
+) -> dict:
+    """lvdm UNetModel state_dict (DynamiCrafter ckpt, 'model.diffusion_model.'
+    prefix stripped) -> our UNet3D tree. Sequential numbering mirrors
+    openaimodel3d.py: input_blocks.0.0 = conv_in, then per level
+    num_res_blocks TimestepEmbedSequentials of [ResBlock, SpatialTransformer,
+    TemporalTransformer] plus a trailing Downsample block; middle is
+    [Res, Spatial, Temporal, Res]; output has num_res_blocks+1 per level with
+    the Upsample appended inside the level's last sequential."""
+    c = _Consumer(sd)
+    p: dict = {
+        "time_embed": {
+            "linear_1": _linear(c, "time_embed.0"),
+            "linear_2": _linear(c, "time_embed.2"),
+        },
+        "conv_in": {
+            "kernel": _conv(c("input_blocks.0.0.weight")),
+            "bias": c("input_blocks.0.0.bias"),
+        },
+    }
+    if c.has("fps_embedding.0.weight"):
+        p["fps_embedding"] = {
+            "linear_1": _linear(c, "fps_embedding.0"),
+            "linear_2": _linear(c, "fps_embedding.2"),
+        }
+    if c.has("init_attn.0.norm.weight"):
+        p["init_attn"] = _port_lvdm_temporal(c, "init_attn.0", transformer_depth)
+
+    n_levels = len(channel_mult)
+    n = 1
+    for level in range(n_levels):
+        for i in range(num_res_blocks):
+            pre = f"input_blocks.{n}"
+            p[f"input_{level}_{i}_res"] = _port_lvdm_resblock(c, f"{pre}.0")
+            if level in attention_levels:
+                p[f"input_{level}_{i}_spatial"] = _port_lvdm_spatial(
+                    c, f"{pre}.1", transformer_depth
+                )
+                if temporal_attention:
+                    p[f"input_{level}_{i}_temporal"] = _port_lvdm_temporal(
+                        c, f"{pre}.2", transformer_depth
+                    )
+            n += 1
+        if level != n_levels - 1:
+            p[f"input_{level}_down"] = {
+                "kernel": _conv(c(f"input_blocks.{n}.0.op.weight")),
+                "bias": c(f"input_blocks.{n}.0.op.bias"),
+            }
+            n += 1
+
+    p["middle_res_0"] = _port_lvdm_resblock(c, "middle_block.0")
+    p["middle_spatial"] = _port_lvdm_spatial(c, "middle_block.1", transformer_depth)
+    mid_idx = 2
+    if temporal_attention:
+        p["middle_temporal"] = _port_lvdm_temporal(c, "middle_block.2", transformer_depth)
+        mid_idx = 3
+    p["middle_res_1"] = _port_lvdm_resblock(c, f"middle_block.{mid_idx}")
+
+    n = 0
+    for level in reversed(range(n_levels)):
+        for i in range(num_res_blocks + 1):
+            pre = f"output_blocks.{n}"
+            p[f"output_{level}_{i}_res"] = _port_lvdm_resblock(c, f"{pre}.0")
+            idx = 1
+            if level in attention_levels:
+                p[f"output_{level}_{i}_spatial"] = _port_lvdm_spatial(
+                    c, f"{pre}.{idx}", transformer_depth
+                )
+                idx += 1
+                if temporal_attention:
+                    p[f"output_{level}_{i}_temporal"] = _port_lvdm_temporal(
+                        c, f"{pre}.{idx}", transformer_depth
+                    )
+                    idx += 1
+            if level and i == num_res_blocks:
+                p[f"output_{level}_up"] = {
+                    "kernel": _conv(c(f"{pre}.{idx}.conv.weight")),
+                    "bias": c(f"{pre}.{idx}.conv.bias"),
+                }
+            n += 1
+
+    p["out_norm_scale"] = c("out.0.weight")
+    p["out_norm_bias"] = c("out.0.bias")
+    p["conv_out"] = {"kernel": _conv(c("out.2.weight")), "bias": c("out.2.bias")}
+
+    if strict:
+        report_unconsumed(c)
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# SVD UNet attention transformers (diffusers TransformerSpatioTemporalModel)
+# ---------------------------------------------------------------------------
+
+
+def _port_diffusers_attention(c, pre, ours=None):
+    """diffusers Attention (bias-free qkv) -> our CrossAttention leaves;
+    consumes optional MotionRAG APAdapter processor weights
+    (``{pre}.processor.to_{q,k,v}_ip``, reference ``attn_processor.py:14-16``)."""
+    ours = ours if ours is not None else {}
+    for nm in ("to_q", "to_k", "to_v"):
+        ours[nm] = {"kernel": _t(c(f"{pre}.{nm}.weight"))}
+    ours["to_out"] = _linear(c, f"{pre}.to_out.0")
+    for nm in ("to_q_ip", "to_k_ip", "to_v_ip"):
+        if c.has(f"{pre}.processor.{nm}.weight"):
+            ours[nm] = {"kernel": _t(c(f"{pre}.processor.{nm}.weight"))}
+        elif c.has(f"{pre}.{nm}.weight"):
+            ours[nm] = {"kernel": _t(c(f"{pre}.{nm}.weight"))}
+    return ours
+
+
+def _port_basic_txblock(c, pre):
+    return {
+        "norm1": _ln(c, f"{pre}.norm1"),
+        "attn1": _port_diffusers_attention(c, f"{pre}.attn1"),
+        "norm2": _ln(c, f"{pre}.norm2"),
+        "attn2": _port_diffusers_attention(c, f"{pre}.attn2"),
+        "norm3": _ln(c, f"{pre}.norm3"),
+        "ff": {
+            "net_0_proj": _linear(c, f"{pre}.ff.net.0.proj"),
+            "net_2": _linear(c, f"{pre}.ff.net.2"),
+        },
+    }
+
+
+def _port_temporal_txblock(c, pre):
+    p = {
+        "norm_in": _ln(c, f"{pre}.norm_in"),
+        "ff_in": {
+            "net_0_proj": _linear(c, f"{pre}.ff_in.net.0.proj"),
+            "net_2": _linear(c, f"{pre}.ff_in.net.2"),
+        },
+        "norm1": _ln(c, f"{pre}.norm1"),
+        "attn1": _port_diffusers_attention(c, f"{pre}.attn1"),
+        "norm3": _ln(c, f"{pre}.norm3"),
+        "ff": {
+            "net_0_proj": _linear(c, f"{pre}.ff.net.0.proj"),
+            "net_2": _linear(c, f"{pre}.ff.net.2"),
+        },
+    }
+    if c.has(f"{pre}.attn2.to_q.weight"):
+        p["norm2"] = _ln(c, f"{pre}.norm2")
+        p["attn2"] = _port_diffusers_attention(c, f"{pre}.attn2")
+    return p
+
+
+def _port_svd_attention(c, pre, depth=1):
+    """diffusers TransformerSpatioTemporalModel -> TransformerSpatioTemporal.
+
+    diffusers shares ONE time_mixer/time_pos_embed across depths; our per-
+    layer time_mixer_{k} receives the shared value (depth is 1 in SVD)."""
+    p = {
+        "norm_scale": c(f"{pre}.norm.weight"),
+        "norm_bias": c(f"{pre}.norm.bias"),
+        "proj_in": _linear(c, f"{pre}.proj_in"),
+        "proj_out": _linear(c, f"{pre}.proj_out"),
+        "time_pos_embed": {
+            "linear_1": _linear(c, f"{pre}.time_pos_embed.linear_1"),
+            "linear_2": _linear(c, f"{pre}.time_pos_embed.linear_2"),
+        },
+    }
+    mix = c(f"{pre}.time_mixer.mix_factor")
+    for k in range(depth):
+        p[f"transformer_blocks_{k}"] = _port_basic_txblock(c, f"{pre}.transformer_blocks.{k}")
+        p[f"temporal_transformer_blocks_{k}"] = _port_temporal_txblock(
+            c, f"{pre}.temporal_transformer_blocks.{k}"
+        )
+        p[f"time_mixer_{k}"] = {"mix_factor": np.reshape(mix, (1,))}
+    return p
+
+
+def port_svd_unet(sd: dict, layers_per_block: int = 2, strict: bool = True) -> dict:
+    """Full diffusers UNetSpatioTemporalConditionModel -> UNetSpatioTemporal:
+    resnets/time embeddings (port_svd_unet_partial) + every attention
+    transformer (down_blocks.{0..2}.attentions.{j}, mid_block.attentions.0,
+    up_blocks.{1..3}.attentions.{j})."""
+    c = _Consumer(sd)
+    p = port_svd_unet_partial(sd, strict=False)["params"]
+
+    # attentions
+    for i in range(3):
+        for j in range(layers_per_block):
+            pre = f"down_blocks.{i}.attentions.{j}"
+            if c.has(f"{pre}.norm.weight"):
+                p[f"down_blocks_{i}_attentions_{j}"] = _port_svd_attention(c, pre)
+    if c.has("mid_block.attentions.0.norm.weight"):
+        p["mid_block_attentions_0"] = _port_svd_attention(c, "mid_block.attentions.0")
+    for i in range(1, 4):
+        for j in range(layers_per_block + 1):
+            pre = f"up_blocks.{i}.attentions.{j}"
+            if c.has(f"{pre}.norm.weight"):
+                p[f"up_blocks_{i}_attentions_{j}"] = _port_svd_attention(c, pre)
+
+    if strict:
+        # the resnet half consumed keys via its own consumer; report only
+        # attention-side leftovers that look like attention keys
+        left = [k for k in c.unconsumed() if "attentions" in k]
+        if left:
+            print(f"porting: {len(left)} unconsumed attention keys, first 20:")
+            for k in left[:20]:
+                print(" ", k)
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# CompVis/lvdm AutoencoderKL (the DynamiCrafter first stage, SD VAE weights)
+# ---------------------------------------------------------------------------
+
+
+def _port_compvis_resblock(c, pre):
+    p = {
+        "norm1_scale": c(f"{pre}.norm1.weight"),
+        "norm1_bias": c(f"{pre}.norm1.bias"),
+        "conv1": {"kernel": _conv(c(f"{pre}.conv1.weight")), "bias": c(f"{pre}.conv1.bias")},
+        "norm2_scale": c(f"{pre}.norm2.weight"),
+        "norm2_bias": c(f"{pre}.norm2.bias"),
+        "conv2": {"kernel": _conv(c(f"{pre}.conv2.weight")), "bias": c(f"{pre}.conv2.bias")},
+    }
+    if c.has(f"{pre}.nin_shortcut.weight"):
+        p["conv_shortcut"] = {
+            "kernel": _conv(c(f"{pre}.nin_shortcut.weight")),
+            "bias": c(f"{pre}.nin_shortcut.bias"),
+        }
+    return p
+
+
+def _port_compvis_attn(c, pre):
+    """CompVis AttnBlock (1x1-conv qkv) -> our Dense AttnBlock2D."""
+    def conv1x1_to_dense(key):
+        w = np.asarray(c(key))
+        return _t(w[:, :, 0, 0])
+
+    return {
+        "norm_scale": c(f"{pre}.norm.weight"),
+        "norm_bias": c(f"{pre}.norm.bias"),
+        "to_q": {"kernel": conv1x1_to_dense(f"{pre}.q.weight"), "bias": c(f"{pre}.q.bias")},
+        "to_k": {"kernel": conv1x1_to_dense(f"{pre}.k.weight"), "bias": c(f"{pre}.k.bias")},
+        "to_v": {"kernel": conv1x1_to_dense(f"{pre}.v.weight"), "bias": c(f"{pre}.v.bias")},
+        "to_out": {
+            "kernel": conv1x1_to_dense(f"{pre}.proj_out.weight"),
+            "bias": c(f"{pre}.proj_out.bias"),
+        },
+    }
+
+
+def port_autoencoder_kl(
+    sd: dict, n_levels: int = 4, enc_blocks: int = 2, dec_blocks: int = 3,
+    strict: bool = True,
+) -> dict:
+    """CompVis AutoencoderKL state_dict (SD VAE / DynamiCrafter first stage,
+    'first_stage_model.' prefix stripped) -> our AutoencoderKL2D tree.
+
+    CompVis decoder indexes its up list in reverse (up.3 is applied first);
+    our decoder names follow application order, so up_{i} <- up.{n-1-i}."""
+    c = _Consumer(sd)
+    enc: dict = {
+        "conv_in": {"kernel": _conv(c("encoder.conv_in.weight")), "bias": c("encoder.conv_in.bias")},
+        "mid_res_0": _port_compvis_resblock(c, "encoder.mid.block_1"),
+        "mid_attn": _port_compvis_attn(c, "encoder.mid.attn_1"),
+        "mid_res_1": _port_compvis_resblock(c, "encoder.mid.block_2"),
+        "norm_out_scale": c("encoder.norm_out.weight"),
+        "norm_out_bias": c("encoder.norm_out.bias"),
+        "conv_out": {"kernel": _conv(c("encoder.conv_out.weight")), "bias": c("encoder.conv_out.bias")},
+        "quant_conv": {"kernel": _conv(c("quant_conv.weight")), "bias": c("quant_conv.bias")},
+    }
+    for i in range(n_levels):
+        for j in range(enc_blocks):
+            enc[f"down_{i}_res_{j}"] = _port_compvis_resblock(c, f"encoder.down.{i}.block.{j}")
+        if i < n_levels - 1:
+            enc[f"down_{i}_downsample"] = {
+                "conv": {
+                    "kernel": _conv(c(f"encoder.down.{i}.downsample.conv.weight")),
+                    "bias": c(f"encoder.down.{i}.downsample.conv.bias"),
+                }
+            }
+
+    dec: dict = {
+        "conv_in": {"kernel": _conv(c("decoder.conv_in.weight")), "bias": c("decoder.conv_in.bias")},
+        "mid_res_0": _port_compvis_resblock(c, "decoder.mid.block_1"),
+        "mid_attn": _port_compvis_attn(c, "decoder.mid.attn_1"),
+        "mid_res_1": _port_compvis_resblock(c, "decoder.mid.block_2"),
+        "norm_out_scale": c("decoder.norm_out.weight"),
+        "norm_out_bias": c("decoder.norm_out.bias"),
+        "conv_out": {"kernel": _conv(c("decoder.conv_out.weight")), "bias": c("decoder.conv_out.bias")},
+    }
+    for i in range(n_levels):
+        lvl = n_levels - 1 - i  # CompVis reverse indexing
+        for j in range(dec_blocks):
+            dec[f"up_{i}_res_{j}"] = _port_compvis_resblock(c, f"decoder.up.{lvl}.block.{j}")
+        if i < n_levels - 1:
+            dec[f"up_{i}_upsample"] = {
+                "kernel": _conv(c(f"decoder.up.{lvl}.upsample.conv.weight")),
+                "bias": c(f"decoder.up.{lvl}.upsample.conv.bias"),
+            }
+
+    p = {
+        "encoder": enc,
+        "decoder": dec,
+        "post_quant_conv": {
+            "kernel": _conv(c("post_quant_conv.weight")),
+            "bias": c("post_quant_conv.bias"),
+        },
+    }
     if strict:
         report_unconsumed(c)
     return {"params": p}
