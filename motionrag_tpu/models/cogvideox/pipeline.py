@@ -36,11 +36,15 @@ __all__ = [
 
 class CogVideoXImageToVideoPipeline:
     def __init__(self, transformer, vae, text_encoder, scheduler: str = "ddim",
-                 dtype=jnp.bfloat16):
+                 cfg_mode: str = "batched", dtype=jnp.bfloat16):
         self.transformer = transformer
         self.vae = vae
         self.text_encoder = text_encoder
         self.scheduler_name = scheduler
+        # 'batched' = reference-style 2x batch; 'sequential' halves the
+        # activation peak (the 5.57B DiT + batch-2 activations brush the
+        # 16GB-HBM ceiling on one v5e)
+        self.cfg_mode = cfg_mode
         self.schedule = CogVideoXSchedule()
         self.dtype = dtype
 
@@ -66,7 +70,9 @@ class CogVideoXImageToVideoPipeline:
 
     @functools.partial(
         jax.jit,
-        static_argnames=("self", "num_inference_steps", "use_dynamic_cfg", "scheduler"),
+        static_argnames=(
+            "self", "num_inference_steps", "use_dynamic_cfg", "scheduler", "step_range"
+        ),
     )
     def _sample(
         self,
@@ -80,26 +86,77 @@ class CogVideoXImageToVideoPipeline:
         num_inference_steps: int,
         use_dynamic_cfg: bool = False,
         scheduler: str = "ddim",
+        step_range: tuple | None = None,
+        dpm_carry=None,
     ):
         text2 = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
 
+        def one_call(x, t, text, action):
+            b = x.shape[0]
+            model_in = jnp.concatenate(
+                [x.astype(self.dtype), image_latents.astype(self.dtype)], axis=-1
+            )
+            return self.transformer.apply(
+                params["transformer"], model_in, text.astype(self.dtype),
+                jnp.broadcast_to(t, (b,)), action_emb=action,
+            )
+
         def denoise_fn(x, t):
             b = x.shape[0]
-            x2 = jnp.concatenate([x, x], axis=0)
-            img2 = jnp.concatenate([image_latents, image_latents], axis=0)
-            model_in = jnp.concatenate([x2.astype(self.dtype), img2.astype(self.dtype)], axis=-1)
-            v = self.transformer.apply(
-                params["transformer"], model_in, text2.astype(self.dtype),
-                jnp.broadcast_to(t, (2 * b,)), action_emb=action_emb,
-            )
-            return v[:b], v[b:]
+            if self.cfg_mode == "batched":
+                x2 = jnp.concatenate([x, x], axis=0)
+                img2 = jnp.concatenate([image_latents, image_latents], axis=0)
+                model_in = jnp.concatenate(
+                    [x2.astype(self.dtype), img2.astype(self.dtype)], axis=-1
+                )
+                v = self.transformer.apply(
+                    params["transformer"], model_in, text2.astype(self.dtype),
+                    jnp.broadcast_to(t, (2 * b,)), action_emb=action_emb,
+                )
+                return v[:b], v[b:]
+            a_un, a_c = (None, None)
+            if action_emb is not None:
+                a_un, a_c = jnp.split(action_emb, 2, axis=0)
+            v_un = one_call(x, t, negative_embeds, a_un)
+            v_c = one_call(x, t, prompt_embeds, a_c)
+            return v_un, v_c
 
-        loop = ddim_sample_loop if scheduler == "ddim" else dpm_sample_loop
-        kwargs = {"use_dynamic_cfg": use_dynamic_cfg} if scheduler == "ddim" else {}
-        return loop(
+        if scheduler == "ddim":
+            return ddim_sample_loop(
+                self.schedule, denoise_fn, noise, num_inference_steps,
+                guidance_scale=guidance_scale, use_dynamic_cfg=use_dynamic_cfg,
+                step_range=step_range,
+            )
+        return dpm_sample_loop(
             self.schedule, denoise_fn, noise, num_inference_steps,
-            guidance_scale=guidance_scale, **kwargs,
+            guidance_scale=guidance_scale, step_range=step_range,
+            init_carry=dpm_carry, return_carry=step_range is not None,
         )
+
+    def _sample_segmented(
+        self, params, noise, image_latents, prompt_embeds, negative_embeds,
+        action_emb, guidance_scale, num_inference_steps: int,
+        use_dynamic_cfg: bool, scheduler: str, steps_per_launch: int,
+    ):
+        """Split the denoise loop into several device launches. The tunneled
+        v5e runtime kills single programs running past ~60 s; the 5.57B DiT
+        at 50 steps x 2 CFG runs ~110 s in one program. Identical math —
+        lax.fori_loop over [lo, hi) segments with the state carried."""
+        x = noise
+        carry = None
+        for lo in range(0, num_inference_steps, steps_per_launch):
+            hi = min(lo + steps_per_launch, num_inference_steps)
+            out = self._sample(
+                params, x, image_latents, prompt_embeds, negative_embeds,
+                action_emb, guidance_scale, num_inference_steps,
+                use_dynamic_cfg, scheduler, (lo, hi),
+                dpm_carry=carry,
+            )
+            if scheduler == "ddim":
+                x = out
+            else:
+                x, carry = out
+        return x
 
     def __call__(
         self,
@@ -118,6 +175,7 @@ class CogVideoXImageToVideoPipeline:
         num_inference_steps: int = 50,
         guidance_scale: float = 6.0,
         use_dynamic_cfg: bool = False,
+        steps_per_launch: int | None = 20,
         **unused: Any,
     ) -> jnp.ndarray:
         """image: [-1,1] [b, c, h, w] -> video [-1,1] [b, f, c, h, w]."""
@@ -153,11 +211,19 @@ class CogVideoXImageToVideoPipeline:
         ).astype(self.dtype)
 
         with pallas_norms():
-            latents = self._sample(
-                params, noise, image_latents, prompt_embeds, negative_prompt_embeds,
-                action_emb, guidance_scale, num_inference_steps,
-                use_dynamic_cfg, self.scheduler_name,
-            )
+            if steps_per_launch and steps_per_launch < num_inference_steps:
+                latents = self._sample_segmented(
+                    params, noise, image_latents, prompt_embeds,
+                    negative_prompt_embeds, action_emb, guidance_scale,
+                    num_inference_steps, use_dynamic_cfg, self.scheduler_name,
+                    steps_per_launch,
+                )
+            else:
+                latents = self._sample(
+                    params, noise, image_latents, prompt_embeds, negative_prompt_embeds,
+                    action_emb, guidance_scale, num_inference_steps,
+                    use_dynamic_cfg, self.scheduler_name,
+                )
             frames = self._decode_latents(params, latents)
         # [b, f, h, w, 3] -> [b, f, 3, h, w]
         return frames.transpose(0, 1, 4, 2, 3)

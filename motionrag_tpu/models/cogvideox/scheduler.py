@@ -82,11 +82,15 @@ def ddim_sample_loop(
     num_inference_steps: int,
     guidance_scale: float = 6.0,
     use_dynamic_cfg: bool = False,
+    step_range: tuple | None = None,
 ):
     """DDIM (eta=0) v-prediction loop with CFG.
 
     denoise_fn(x, t) -> (v_uncond, v_cond); whole loop under lax.fori_loop.
     Dynamic CFG follows the reference pipeline's cosine schedule.
+    ``step_range=(lo, hi)`` runs only that slice of the schedule — used to
+    split long samplers into multiple device launches (the tunneled runtime
+    kills single programs running past ~60 s).
     """
     ts = jnp.asarray(schedule.timesteps(num_inference_steps))
     acp = schedule.alphas_cumprod
@@ -111,7 +115,8 @@ def ddim_sample_loop(
         x_prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
         return x_prev.astype(x.dtype)
 
-    return lax.fori_loop(0, n, body, latents)
+    lo, hi = step_range or (0, n)
+    return lax.fori_loop(lo, hi, body, latents)
 
 
 def dpm_sample_loop(
@@ -120,11 +125,16 @@ def dpm_sample_loop(
     latents: jnp.ndarray,
     num_inference_steps: int,
     guidance_scale: float = 6.0,
+    step_range: tuple | None = None,
+    init_carry=None,
+    return_carry: bool = False,
 ):
     """DPM-Solver++(2M) over the same v-pred schedule (log-sigma multistep).
 
     First step falls back to first-order (DDIM-like); afterwards the 2M
-    correction uses the previous model output.
+    correction uses the previous model output. ``step_range``/``init_carry``/
+    ``return_carry`` support segmented launches: pass the returned carry
+    (the previous step's x0) into the next segment.
     """
     ts = jnp.asarray(schedule.timesteps(num_inference_steps))
     acp = schedule.alphas_cumprod
@@ -163,5 +173,7 @@ def dpm_sample_loop(
         ) * x0_used
         return (x_prev.astype(x.dtype), x0)
 
-    out, _ = lax.fori_loop(0, n, body, (latents, jnp.zeros_like(latents, jnp.float32)))
-    return out
+    lo, hi = step_range or (0, n)
+    carry0 = init_carry if init_carry is not None else jnp.zeros_like(latents, jnp.float32)
+    out, carry = lax.fori_loop(lo, hi, body, (latents, carry0))
+    return (out, carry) if return_carry else out

@@ -167,3 +167,39 @@ def test_cogvideox_action_module_loss():
     batch2 = dict(batch, ref_videos=batch["ref_videos"] * -1)
     loss2, _ = module.loss(params, batch2, jax.random.key(1))
     assert float(loss) != float(loss2)
+
+
+def test_segmented_sampling_matches_single_launch():
+    """step_range segmentation must be bit-identical math for both
+    schedulers (the tunneled runtime kills >60s device programs, so long
+    samplers run as several launches)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motionrag_tpu.models.cogvideox.scheduler import (
+        CogVideoXSchedule, ddim_sample_loop, dpm_sample_loop)
+
+    sched = CogVideoXSchedule()
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, 2, 4, 4, 4), jnp.float32)
+
+    def denoise_fn(x, t):
+        c = jnp.cos(x + t.astype(jnp.float32) * 0.001)
+        return 0.9 * c, c
+
+    n = 9
+    full = ddim_sample_loop(sched, denoise_fn, x0, n, guidance_scale=6.0)
+    x = x0
+    for lo in range(0, n, 4):
+        x = ddim_sample_loop(sched, denoise_fn, x, n, guidance_scale=6.0,
+                             step_range=(lo, min(lo + 4, n)))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(x), atol=1e-6)
+
+    full = dpm_sample_loop(sched, denoise_fn, x0, n, guidance_scale=6.0)
+    x, carry = x0, None
+    for lo in range(0, n, 4):
+        x, carry = dpm_sample_loop(
+            sched, denoise_fn, x, n, guidance_scale=6.0,
+            step_range=(lo, min(lo + 4, n)), init_carry=carry, return_carry=True)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(x), atol=1e-6)
