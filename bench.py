@@ -27,17 +27,19 @@ import time
 import numpy as np
 
 
-def make_params_from_shapes(module_init_fn, scale=0.02, seed=0):
+def make_params_from_shapes(module_init_fn, scale=0.02, seed=0, dtype=None):
     """Build a param tree from eval_shape with small constant values —
     avoids a full fp32 init of billions of parameters (wall-clock timing is
-    value-independent on TPU; no denormal/branch effects)."""
+    value-independent on TPU; no denormal/branch effects). ``dtype``
+    overrides the param dtype (bf16 halves the HBM footprint; inference
+    computes in bf16 anyway)."""
     import jax
     import jax.numpy as jnp
 
     shapes = jax.eval_shape(module_init_fn)
 
     def mk(s):
-        return jnp.full(s.shape, scale, jax.dtypes.canonicalize_dtype(s.dtype))
+        return jnp.full(s.shape, scale, dtype or jax.dtypes.canonicalize_dtype(s.dtype))
 
     return jax.tree.map(mk, shapes)
 
@@ -85,8 +87,9 @@ def bench_svd(small: bool):
         }
 
     t0 = time.time()
-    params = make_params_from_shapes(init_all)
-    params = jax.device_put(params)
+    # bf16 params: the 1.52B-param UNet in fp32 (6.1 GB) plus the f=25
+    # sampler activations exceeds 16 GB HBM
+    params = make_params_from_shapes(init_all, dtype=jnp.bfloat16)
     jax.block_until_ready(params)
     init_s = time.time() - t0
 
@@ -162,8 +165,8 @@ def bench_dynamicrafter(small: bool):
         "prompt_ids": jnp.zeros((1, 77), jnp.int32),
     }
     t0 = time.time()
-    params = jax.device_put(make_params_from_shapes(
-        lambda: module.init_params(jax.random.key(0), batch)))
+    params = make_params_from_shapes(
+        lambda: module.init_params(jax.random.key(0), batch), dtype=jnp.bfloat16)
     jax.block_until_ready(params)
     init_s = time.time() - t0
 
@@ -282,12 +285,42 @@ def bench_rag_cama(small: bool):
     return {"rag_s": rag_s, "cama_s": cama_s}
 
 
+_PHASES = {
+    "dc": (bench_dynamicrafter, {"dc_s_per_video": float("nan")}),
+    "svd": (bench_svd, {"svd_s_per_video": float("nan")}),
+    "ragcama": (bench_rag_cama, {"rag_s": float("nan"), "cama_s": float("nan")}),
+}
+
+
+def _run_phase_subprocess(phase: str, small: bool) -> dict:
+    """Each phase runs in its own process: clean HBM (no cross-phase
+    fragmentation — SVD after the DC sampler OOMs otherwise), and one
+    phase's crash cannot poison the device for the rest. Phases run
+    strictly sequentially (never two TPU processes at once)."""
+    import subprocess
+
+    cmd = [sys.executable, __file__, "--phase", phase]
+    if small:
+        cmd.append("--small")
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    print(f"phase {phase} produced no JSON (exit {proc.returncode})", file=sys.stderr)
+    return dict(_PHASES[phase][1])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny CPU smoke sizes")
     ap.add_argument("--svd", action="store_true",
                     help="also run SVD 25f 576x1024 (detail metric; no "
                     "published reference wall-clock exists for SVD)")
+    ap.add_argument("--phase", choices=list(_PHASES), default=None,
+                    help="internal: run one phase in-process and print its JSON")
     args = ap.parse_args()
 
     import jax
@@ -302,31 +335,20 @@ def main():
     except Exception:  # noqa: BLE001
         pass
 
-    import gc
+    if args.phase:
+        fn, fallback = _PHASES[args.phase]
+        try:
+            print(json.dumps(fn(args.small)))
+        except Exception as e:  # noqa: BLE001
+            print(f"{args.phase} bench failed: {e}", file=sys.stderr)
+            print(json.dumps(fallback))
+        return
 
     detail = {}
-    # diffusion first: the sampler needs nearly all of HBM; the RAG/CAMA
-    # phase's device residents (1M-row index, encoder params) would otherwise
-    # fragment memory under the 16GB budget. NEVER run another TPU process
-    # concurrently (CLAUDE.md: HBM co-tenancy).
-    try:
-        detail.update(bench_dynamicrafter(args.small))
-    except Exception as e:  # noqa: BLE001
-        print(f"dynamicrafter bench failed: {e}", file=sys.stderr)
-        detail.update({"dc_s_per_video": float("nan")})
-    gc.collect()
+    detail.update(_run_phase_subprocess("dc", args.small))
     if args.svd:
-        try:
-            detail.update(bench_svd(args.small))
-        except Exception as e:  # noqa: BLE001
-            print(f"svd bench failed: {e}", file=sys.stderr)
-            detail.update({"svd_s_per_video": float("nan")})
-        gc.collect()
-    try:
-        detail.update(bench_rag_cama(args.small))
-    except Exception as e:  # noqa: BLE001
-        print(f"rag/cama bench failed: {e}", file=sys.stderr)
-        detail.update({"rag_s": float("nan"), "cama_s": float("nan")})
+        detail.update(_run_phase_subprocess("svd", args.small))
+    detail.update(_run_phase_subprocess("ragcama", args.small))
 
     total = detail["dc_s_per_video"] + np.nan_to_num(detail.get("rag_s", 0.0)) + np.nan_to_num(
         detail.get("cama_s", 0.0)
