@@ -110,7 +110,7 @@ def bench_svd(small: bool):
         return float(jnp.mean(out.astype(jnp.float32)))
 
     t0 = time.time()
-    for attempt in range(3):
+    for attempt in range(2):
         try:
             run(attempt * 100)
             break
@@ -118,7 +118,7 @@ def bench_svd(small: bool):
             # the remote compile service is flaky on very large modules;
             # the persistent cache makes retries cheap
             print(f"compile attempt {attempt} failed: {str(e)[:200]}", file=sys.stderr)
-            if attempt == 2:
+            if attempt == 1:
                 raise
     compile_s = time.time() - t0
 
@@ -179,13 +179,13 @@ def bench_dynamicrafter(small: bool):
         return float(jnp.mean(out.astype(jnp.float32)))
 
     t0 = time.time()
-    for attempt in range(3):
+    for attempt in range(2):
         try:
             run(attempt * 100)
             break
         except Exception as e:  # noqa: BLE001
             print(f"dc compile attempt {attempt} failed: {str(e)[:200]}", file=sys.stderr)
-            if attempt == 2:
+            if attempt == 1:
                 raise
     compile_s = time.time() - t0
 
@@ -227,15 +227,19 @@ def bench_rag_cama(small: bool):
         frames = 16
 
     # --- RAG: exact GEMM top-k over HBM-resident embeddings ---------------
+    # The 1M x 768 fp16 matrix (1.5 GB) is generated ON DEVICE: uploading it
+    # through the ~4 MB/s axon tunnel took ~6 min and was the main reason the
+    # round-1 driver bench timed out (BENCH_r01 rc=124). GEMM+top-k timing is
+    # value-independent, so device-side RNG measures the same thing.
     rng = np.random.default_rng(0)
     chunk = min(131072, n_rows)
     n_chunks = (n_rows + chunk - 1) // chunk
-    emb = jnp.asarray(
-        rng.standard_normal((n_chunks, chunk, dim), dtype=np.float32).astype(np.float16)
+    emb = jax.random.normal(
+        jax.random.key(0), (n_chunks, chunk, dim), jnp.float16)
+    row_ids = (
+        jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk) % 50000
     )
-    row_ids = jnp.asarray(
-        np.arange(n_chunks * chunk, dtype=np.int32).reshape(n_chunks, chunk) % 50000
-    )
+    jax.block_until_ready((emb, row_ids))
     q1 = jnp.asarray(rng.standard_normal((1, dim), dtype=np.float32))
     q2 = jnp.asarray(rng.standard_normal((1, dim), dtype=np.float32))
     ex = jnp.asarray([3], np.int32)
@@ -292,7 +296,7 @@ _PHASES = {
 }
 
 
-def _run_phase_subprocess(phase: str, small: bool) -> dict:
+def _run_phase_subprocess(phase: str, small: bool, timeout: float) -> dict:
     """Each phase runs in its own process: clean HBM (no cross-phase
     fragmentation — SVD after the DC sampler OOMs otherwise), and one
     phase's crash cannot poison the device for the rest. Phases run
@@ -302,7 +306,13 @@ def _run_phase_subprocess(phase: str, small: bool) -> dict:
     cmd = [sys.executable, __file__, "--phase", phase]
     if small:
         cmd.append("--small")
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write((e.stderr or b"").decode() if isinstance(e.stderr, bytes)
+                         else (e.stderr or ""))
+        print(f"phase {phase} timed out after {timeout:.0f}s", file=sys.stderr)
+        return dict(_PHASES[phase][1])
     sys.stderr.write(proc.stderr)
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
@@ -313,6 +323,13 @@ def _run_phase_subprocess(phase: str, small: bool) -> dict:
     return dict(_PHASES[phase][1])
 
 
+# The reference publishes +1.8 s/video RAG overhead (README.md:50); our
+# measured overhead is ~0.2 s (RAG 32 ms + CAMA 144 ms, docs/benchmarks.md).
+# When the deadline leaves no room to re-measure it, fold in a CONSERVATIVE
+# 1.0 s (5x our measurement) so the headline never understates our time.
+_FALLBACK_OVERHEAD_S = 1.0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny CPU smoke sizes")
@@ -321,7 +338,12 @@ def main():
                     "published reference wall-clock exists for SVD)")
     ap.add_argument("--phase", choices=list(_PHASES), default=None,
                     help="internal: run one phase in-process and print its JSON")
+    ap.add_argument("--budget", type=float,
+                    default=float(__import__("os").environ.get("MRT_BENCH_BUDGET", 540)),
+                    help="wall-clock budget (s); the headline JSON line is "
+                    "guaranteed to print inside it")
     args = ap.parse_args()
+    t_start = time.time()
 
     import jax
 
@@ -344,15 +366,25 @@ def main():
             print(json.dumps(fallback))
         return
 
-    detail = {}
-    detail.update(_run_phase_subprocess("dc", args.small))
-    if args.svd:
-        detail.update(_run_phase_subprocess("svd", args.small))
-    detail.update(_run_phase_subprocess("ragcama", args.small))
+    remaining = lambda: args.budget - (time.time() - t_start)
 
-    total = detail["dc_s_per_video"] + np.nan_to_num(detail.get("rag_s", 0.0)) + np.nan_to_num(
-        detail.get("cama_s", 0.0)
+    detail = {}
+    # Headline phase first — everything else is optional detail. The DC
+    # phase gets the whole budget minus a 60 s reserve for ragcama.
+    detail.update(_run_phase_subprocess("dc", args.small, timeout=max(60, remaining() - 60)))
+    # RAG+CAMA overhead: only re-measure if the deadline allows; otherwise
+    # fold in the conservative constant (never understate).
+    if remaining() > 90:
+        detail.update(_run_phase_subprocess("ragcama", args.small,
+                                            timeout=max(30, remaining() - 15)))
+    overhead = np.nan_to_num(detail.get("rag_s", float("nan")), nan=0.0) + np.nan_to_num(
+        detail.get("cama_s", float("nan")), nan=0.0
     )
+    if overhead == 0.0:
+        overhead = _FALLBACK_OVERHEAD_S
+        detail["overhead_fallback_s"] = _FALLBACK_OVERHEAD_S
+
+    total = detail["dc_s_per_video"] + overhead
     # the reference's own published wall-clock for this exact workload with
     # RAG: 89.4 s/video (README.md:50, A100-class hardware)
     baseline = 89.4
@@ -363,7 +395,13 @@ def main():
         "unit": "s/video",
         "vs_baseline": round(baseline / total, 3) if np.isfinite(total) and total > 0 else None,
     }))
+    sys.stdout.flush()
     print(json.dumps({"detail": {k: round(float(v), 3) for k, v in detail.items()}}), file=sys.stderr)
+
+    if args.svd and remaining() > 120:
+        svd = _run_phase_subprocess("svd", args.small, timeout=remaining() - 10)
+        print(json.dumps({"svd_detail": {k: round(float(v), 3) for k, v in svd.items()}}),
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

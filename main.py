@@ -46,6 +46,10 @@ def cli_main(argv=None, run: bool = True):
     if platform:
         import jax
 
+        if platform == "tpu" and os.environ.get("JAX_PLATFORMS", "") == "axon":
+            # the tunnel plugin registers the TPU backend under the name
+            # 'axon'; accept the natural 'tpu' spelling in that environment
+            platform = "axon"
         jax.config.update("jax_platforms", platform)
 
     from motionrag_tpu.config import apply_overrides, load_yaml

@@ -47,10 +47,19 @@ class AllSelector(BaseSelector):
 
 
 class IndexSelector(BaseSelector):
-    def __init__(self, start: int = 0, end: int | None = None, step: int = 1):
+    """Select clips by explicit indices (reference ``clip_selector.py:20-31``).
+
+    Also accepts the ``start``/``end``/``step`` slice spelling as a
+    convenience extension beyond the reference signature."""
+
+    def __init__(self, indices=None, start: int = 0, end: int | None = None,
+                 step: int = 1):
+        self.indices = list(indices) if indices is not None else None
         self.start, self.end, self.step = start, end, step
 
     def __call__(self, annotation):
+        if self.indices is not None:
+            return [annotation[i] for i in self.indices]
         return annotation[self.start : self.end : self.step]
 
 

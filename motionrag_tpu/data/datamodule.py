@@ -17,6 +17,7 @@ prepare_data semantics preserved:
 from __future__ import annotations
 
 import hashlib
+import os
 import pickle
 from pathlib import Path
 from typing import Callable, Optional, Sequence
@@ -240,7 +241,17 @@ class VideoDataModule:
                 if suffix == ".pt":
                     import torch
 
-                    rows = torch.load(side, map_location="cpu", weights_only=False)
+                    # externally produced sidecars: refuse pickled code by
+                    # default; MRT_UNSAFE_PICKLE=1 opts in for legacy files
+                    try:
+                        rows = torch.load(side, map_location="cpu", weights_only=True)
+                    except Exception:  # noqa: BLE001
+                        if os.environ.get("MRT_UNSAFE_PICKLE") != "1":
+                            raise RuntimeError(
+                                f"{side} is not loadable with weights_only=True; "
+                                "set MRT_UNSAFE_PICKLE=1 to allow full pickle"
+                            )
+                        rows = torch.load(side, map_location="cpu", weights_only=False)
                     for r in rows:
                         emb = np.asarray(r["eva_clip_vision"], np.float32)
                         table[r["video"]] = emb[0] if emb.ndim > 1 else emb

@@ -100,10 +100,11 @@ class CogVideoX5B:
     def loss(self, params, batch: dict, rng: jax.Array):
         video = jnp.asarray(batch["video"])
         b, f, c, h, w = video.shape
-        rngs = jax.random.split(rng, 6)
+        rngs = jax.random.split(rng, 7)
 
         prompt_embeds = self.text_encoder.apply(
-            params["text_encoder"], jnp.asarray(batch["prompt_ids"])
+            params["text_encoder"],
+            jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 16), jnp.int32))),
         )
 
         t = jax.random.randint(rngs[0], (b,), 0, self.schedule.num_train_timesteps)
@@ -129,7 +130,7 @@ class CogVideoX5B:
         model_in = jnp.concatenate(
             [noisy_latents.astype(self.dtype), image_latents.astype(self.dtype)], axis=-1
         )
-        action_emb = self.action_embedding_for_training(params, batch, rngs[0])
+        action_emb = self.action_embedding_for_training(params, batch, rngs[6])
         v_pred = self.transformer.apply(
             params["transformer"], model_in, prompt_embeds.astype(self.dtype), t,
             action_emb=action_emb,

@@ -157,7 +157,7 @@ class DynamiCrafterModule:
     def loss(self, params, batch: dict, rng: jax.Array):
         video = jnp.asarray(batch["video"])
         b, f, c, h, w = video.shape
-        rngs = jax.random.split(rng, 6)
+        rngs = jax.random.split(rng, 7)
 
         z = self.encode_first_stage(params, video, rngs[0])
 
@@ -172,8 +172,11 @@ class DynamiCrafterModule:
         drop_text = jax.random.bernoulli(rngs[2], self.uncond_prob, (b,))
         drop_img = jax.random.bernoulli(rngs[3], self.uncond_prob, (b,))
 
+        # tokenizer-less data paths carry string prompts, which the trainer
+        # strips before jit — fall back to null-token ids like eval does
         prompt = self.text_encoder.apply(
-            params["text_encoder"], jnp.asarray(batch["prompt_ids"])
+            params["text_encoder"],
+            jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 77), jnp.int32))),
         )
         prompt = jnp.where(drop_text[:, None, None], jnp.zeros_like(prompt), prompt)
         image_ctx = self.image_context(params, cond_frame)
@@ -185,7 +188,7 @@ class DynamiCrafterModule:
         c_concat = jnp.broadcast_to(cond_z, z.shape)
 
         t = jax.random.randint(rngs[5], (b,), 0, self.schedule.num_timesteps)
-        noise = jax.random.normal(rngs[5], z.shape, jnp.float32)
+        noise = jax.random.normal(rngs[6], z.shape, jnp.float32)
         x_noisy = self.schedule.q_sample(z, noise, t)
         target = self.schedule.get_v(z, noise, t)
 

@@ -71,6 +71,22 @@ def _linear(c, prefix, bias=True):
     return out
 
 
+def _linear_maybe_conv1d(c, prefix, bias=True):
+    """Linear that tolerates Conv1d-stored weights [out, in, 1].
+
+    lvdm transformers built with ``use_linear=False`` store proj_in/proj_out
+    as Conv1d; DynamiCrafter's ``init_attn`` TemporalTransformer is always
+    built that way (reference openaimodel3d.py:401-413, attention.py default
+    ``use_linear=False``), so real checkpoints carry 3-D proj weights there."""
+    w = np.asarray(c(f"{prefix}.weight"))
+    if w.ndim == 3:
+        w = w[:, :, 0]
+    out = {"kernel": w.T}
+    if bias and c.has(f"{prefix}.bias"):
+        out["bias"] = c(f"{prefix}.bias")
+    return out
+
+
 def _ln(c, prefix):
     return {"scale": c(f"{prefix}.weight"), "bias": c(f"{prefix}.bias")}
 
@@ -279,8 +295,8 @@ def _port_lvdm_temporal(c, pre, depth=1):
     p = {
         "norm_scale": c(f"{pre}.norm.weight"),
         "norm_bias": c(f"{pre}.norm.bias"),
-        "proj_in": _linear(c, f"{pre}.proj_in"),
-        "proj_out": _linear(c, f"{pre}.proj_out"),
+        "proj_in": _linear_maybe_conv1d(c, f"{pre}.proj_in"),
+        "proj_out": _linear_maybe_conv1d(c, f"{pre}.proj_out"),
     }
     for k in range(depth):
         blk = _port_lvdm_txblock(c, f"{pre}.transformer_blocks.{k}")

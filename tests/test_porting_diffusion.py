@@ -245,6 +245,55 @@ def test_lvdm_unet3d_converter_roundtrip():
         np.testing.assert_allclose(a[k], b_[k], err_msg=str(k))
 
 
+def test_lvdm_init_attn_conv1d_proj():
+    """Real DynamiCrafter checkpoints store init_attn's proj_in/proj_out as
+    Conv1d weights [out, in, 1] (the reference builds that TemporalTransformer
+    without use_linear, openaimodel3d.py:401-413). The converter must squeeze
+    the kernel dim; result must match the Linear-stored equivalent."""
+    from motionrag_tpu.utils.porting_diffusion import _Consumer, _port_lvdm_temporal
+
+    rng = np.random.default_rng(1)
+    d, ctx = 8, 8
+
+    def tx_keys(sd, pre):
+        for n in ("norm1", "norm2", "norm3"):
+            sd[f"{pre}.{n}.weight"] = rng.standard_normal(d).astype(np.float32)
+            sd[f"{pre}.{n}.bias"] = rng.standard_normal(d).astype(np.float32)
+        for attn, kdim in (("attn1", d), ("attn2", ctx)):
+            for nm, indim in (("to_q", d), ("to_k", kdim), ("to_v", kdim)):
+                sd[f"{pre}.{attn}.{nm}.weight"] = rng.standard_normal((d, indim)).astype(np.float32)
+            sd[f"{pre}.{attn}.to_out.0.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+            sd[f"{pre}.{attn}.to_out.0.bias"] = rng.standard_normal(d).astype(np.float32)
+        sd[f"{pre}.ff.net.0.proj.weight"] = rng.standard_normal((2 * d, d)).astype(np.float32)
+        sd[f"{pre}.ff.net.0.proj.bias"] = rng.standard_normal(2 * d).astype(np.float32)
+        sd[f"{pre}.ff.net.2.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+        sd[f"{pre}.ff.net.2.bias"] = rng.standard_normal(d).astype(np.float32)
+
+    def make_sd(conv1d: bool):
+        sd = {
+            "t.norm.weight": rng.standard_normal(d).astype(np.float32),
+            "t.norm.bias": rng.standard_normal(d).astype(np.float32),
+        }
+        for nm in ("proj_in", "proj_out"):
+            w = rng.standard_normal((d, d)).astype(np.float32)
+            sd[f"t.{nm}.weight"] = w[:, :, None] if conv1d else w
+            sd[f"t.{nm}.bias"] = rng.standard_normal(d).astype(np.float32)
+        tx_keys(sd, "t.transformer_blocks.0")
+        return sd
+
+    rng = np.random.default_rng(1)
+    sd_conv = make_sd(conv1d=True)
+    rng = np.random.default_rng(1)
+    sd_lin = make_sd(conv1d=False)
+
+    p_conv = _port_lvdm_temporal(_Consumer(sd_conv), "t")
+    p_lin = _port_lvdm_temporal(_Consumer(sd_lin), "t")
+    for nm in ("proj_in", "proj_out"):
+        assert p_conv[nm]["kernel"].ndim == 2
+        np.testing.assert_array_equal(p_conv[nm]["kernel"], p_lin[nm]["kernel"])
+        np.testing.assert_array_equal(p_conv[nm]["bias"], p_lin[nm]["bias"])
+
+
 def test_svd_unet_converter_roundtrip():
     """Bijection test for the full SVD UNet converter (resnets + attention
     transformers + adapter processor weights)."""
