@@ -41,7 +41,10 @@ def make_params_from_shapes(module_init_fn, scale=0.02, seed=0, dtype=None):
     def mk(s):
         return jnp.full(s.shape, scale, dtype or jax.dtypes.canonicalize_dtype(s.dtype))
 
-    return jax.tree.map(mk, shapes)
+    # ONE jitted launch for the whole tree: per-leaf jnp.full dispatches a
+    # separate device call through the tunnel (~43 ms x ~1000 leaves = most
+    # of the old 51 s init phase)
+    return jax.jit(lambda: jax.tree.map(mk, shapes))()
 
 
 def bench_svd(small: bool):

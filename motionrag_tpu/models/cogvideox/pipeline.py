@@ -36,10 +36,17 @@ __all__ = [
 
 class CogVideoXImageToVideoPipeline:
     def __init__(self, transformer, vae, text_encoder, scheduler: str = "ddim",
-                 cfg_mode: str = "batched", dtype=jnp.bfloat16):
+                 cfg_mode: str = "batched", null_prompt_ids=None, dtype=jnp.bfloat16):
         self.transformer = transformer
         self.vae = vae
         self.text_encoder = text_encoder
+        # T5 tokenization of the empty negative prompt "": a single </s>
+        # (id 1) followed by <pad> (id 0) — diffusers CogVideoX encodes
+        # negative_prompt="" through T5 rather than using a zeros embedding
+        self.null_prompt_ids = (
+            jnp.asarray(null_prompt_ids, jnp.int32)
+            if null_prompt_ids is not None else jnp.asarray([1], jnp.int32)
+        )
         self.scheduler_name = scheduler
         # 'batched' = reference-style 2x batch; 'sequential' halves the
         # activation peak (the 5.57B DiT + batch-2 activations brush the
@@ -185,10 +192,14 @@ class CogVideoXImageToVideoPipeline:
         if prompt_embeds is None:
             prompt_embeds = self.encode_prompt(params, prompt_ids)
         if negative_prompt_embeds is None:
-            if negative_prompt_ids is not None:
-                negative_prompt_embeds = self.encode_prompt(params, negative_prompt_ids)
-            else:
-                negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+            if negative_prompt_ids is None:
+                # encoded empty prompt (T5 ""), padded to the prompt length
+                ids = self.null_prompt_ids[: prompt_embeds.shape[1]]
+                ids = jnp.pad(ids, (0, prompt_embeds.shape[1] - ids.shape[0]))
+                negative_prompt_ids = jnp.broadcast_to(ids[None], (b, ids.shape[0]))
+            negative_prompt_embeds = self.encode_prompt(
+                params, jnp.asarray(negative_prompt_ids)
+            )
 
         # image -> single-frame video latent, zero-padded over time
         img_vid = image.transpose(0, 2, 3, 1)[:, None]  # [b, 1, h, w, 3]

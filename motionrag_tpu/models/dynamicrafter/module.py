@@ -36,7 +36,18 @@ __all__ = [
     "DynamiCrafterModule",
     "DynamiCrafterActionModule",
     "DynamiCrafterCTModule",
+    "cfg_dropout_bands",
 ]
+
+
+def cfg_dropout_bands(rng, b: int, p: float):
+    """Correlated CFG-dropout bands from ONE uniform draw per sample
+    (reference ddpm3d.py:1112-1123): u<p -> drop text only; p<=u<2p -> drop
+    both; 2p<=u<3p -> drop image only. Returns (drop_text, drop_img) bools."""
+    u = jax.random.uniform(rng, (b,))
+    drop_text = u < 2 * p
+    drop_img = (u >= p) & (u < 3 * p)
+    return drop_text, drop_img
 
 
 class DynamiCrafterModule:
@@ -53,6 +64,7 @@ class DynamiCrafterModule:
         base_scale: float = 0.3,
         rand_cond_frame: bool = True,
         uncond_prob: float = 0.05,
+        null_prompt_ids=None,
         frame_stride: int = 10,
         cfg_mode: str = "sequential",
         eval_pipeline_call_kwargs: dict | None = None,
@@ -79,6 +91,15 @@ class DynamiCrafterModule:
         self.cfg_mode = cfg_mode
         self.rand_cond_frame = rand_cond_frame
         self.uncond_prob = uncond_prob
+        # token ids of the tokenized empty prompt "" (BOS/EOS + padding for a
+        # real CLIP tokenizer). The reference's uncond_type='empty_seq'
+        # encodes "" for both training dropout and inference uncond
+        # (ddpm3d.py:1124, inference.py:242-245); zeros is the tokenizer-less
+        # fallback.
+        self.null_prompt_ids = (
+            None if null_prompt_ids is None
+            else jnp.asarray(null_prompt_ids, jnp.int32)
+        )
         self.frame_stride = frame_stride
         self.eval_pipeline_call_kwargs = dict(eval_pipeline_call_kwargs or {})
         self.freeze_modules = tuple(freeze_modules)
@@ -149,8 +170,21 @@ class DynamiCrafterModule:
         )
         return self.image_proj.apply(params["image_proj"], tokens_f)
 
-    def action_context(self, params, batch, rng):
+    def action_context(self, params, batch, rng, train: bool = True):
         return None
+
+    def uncond_action_context(self, params, batch):
+        """Inference-time unconditional action branch (matches the training
+        dropout branch of each subclass; reference inference.py:249-258)."""
+        return None
+
+    def null_ids(self, b: int, length: int):
+        """[b, length] token ids of the empty prompt."""
+        if self.null_prompt_ids is None:
+            return jnp.zeros((b, length), jnp.int32)
+        ids = self.null_prompt_ids[:length]
+        ids = jnp.pad(ids, (0, length - ids.shape[0]))
+        return jnp.broadcast_to(ids[None], (b, length))
 
     # -- training ----------------------------------------------------------
 
@@ -168,19 +202,23 @@ class DynamiCrafterModule:
             cond_idx = 0
         cond_frame = jax.lax.dynamic_index_in_dim(video, cond_idx, axis=1, keepdims=False)
 
-        # independent text/image dropout (reference ddpm3d.py:1112-1123)
-        drop_text = jax.random.bernoulli(rngs[2], self.uncond_prob, (b,))
-        drop_img = jax.random.bernoulli(rngs[3], self.uncond_prob, (b,))
+        # correlated CFG-dropout bands from ONE uniform draw; text dropout
+        # substitutes the ENCODED null prompt ""; image dropout zeroes the
+        # image BEFORE CLIP — identical to the inference-time uncond branches.
+        drop_text, drop_img = cfg_dropout_bands(rngs[2], b, self.uncond_prob)
 
         # tokenizer-less data paths carry string prompts, which the trainer
         # strips before jit — fall back to null-token ids like eval does
-        prompt = self.text_encoder.apply(
-            params["text_encoder"],
-            jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 77), jnp.int32))),
+        ids = jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 77), jnp.int32)))
+        prompt = self.text_encoder.apply(params["text_encoder"], ids)
+        null_prompt = self.text_encoder.apply(
+            params["text_encoder"], self.null_ids(b, ids.shape[1])
         )
-        prompt = jnp.where(drop_text[:, None, None], jnp.zeros_like(prompt), prompt)
-        image_ctx = self.image_context(params, cond_frame)
-        image_ctx = jnp.where(drop_img[:, None, None], jnp.zeros_like(image_ctx), image_ctx)
+        prompt = jnp.where(drop_text[:, None, None], null_prompt, prompt)
+        masked_frame = jnp.where(
+            drop_img[:, None, None, None], jnp.zeros_like(cond_frame), cond_frame
+        )
+        image_ctx = self.image_context(params, masked_frame)
         action = self.action_context(params, batch, rngs[4])
 
         # hybrid conditioning: channel-concat the repeated cond-frame latent
@@ -253,16 +291,30 @@ class DynamiCrafterActionModule(DynamiCrafterModule):
         proj_params = self.action_proj.init(r2, tokens)
         return {"action_embedder": emb_params, "action_proj": proj_params}
 
-    def action_context(self, params, batch, rng):
+    def action_context(self, params, batch, rng, train: bool = True):
         ref = jnp.asarray(batch["ref_videos"])
         b, k = ref.shape[:2]
-        # uncond zeros-video branch at uncond_prob (reference ddpm3d.py:1314)
-        drop = jax.random.bernoulli(rng, self.action_uncond_prob, (b,))
-        ref = jnp.where(drop[:, None, None, None, None, None], jnp.zeros_like(ref), ref)
+        # uncond zeros-video branch at uncond_prob (reference ddpm3d.py:1314);
+        # training-time only — the eval pipeline computes the cond branch
+        if train:
+            drop = jax.random.bernoulli(rng, self.action_uncond_prob, (b,))
+            ref = jnp.where(drop[:, None, None, None, None, None], jnp.zeros_like(ref), ref)
         flat = ref.reshape((b * k,) + ref.shape[2:])
         emb = self.action_embedder.apply(params["action_embedder"], flat)
         emb = emb.reshape(b, k, emb.shape[-2], emb.shape[-1])
         emb = condition_fusion(emb, self.ref_fusion_type, weight=batch.get("ref_video_distance"))
+        return self.action_proj.apply(params["action_proj"], emb)
+
+    def uncond_action_context(self, params, batch):
+        """Zeros video through embedder+proj (reference inference.py:250-252
+        embeds a SINGLE zero video). Under 'concat' fusion the cond branch
+        carries k*t tokens, so the uncond tokens are tiled k-fold — duplicate
+        K/V tokens leave attention output unchanged, keeping shapes static."""
+        ref = jnp.asarray(batch["ref_videos"])
+        zero = jnp.zeros_like(ref[:, 0])
+        emb = self.action_embedder.apply(params["action_embedder"], zero)
+        if self.ref_fusion_type == "concat":
+            emb = jnp.tile(emb, (1, ref.shape[1], 1))
         return self.action_proj.apply(params["action_proj"], emb)
 
 
@@ -283,9 +335,25 @@ class DynamiCrafterCTModule(DynamiCrafterActionModule):
         ct_params = self.condition_transformer.init(rng, videos, videos[:, :, 0])
         return {"condition_transformer": ct_params}
 
-    def action_context(self, params, batch, rng):
-        return self.condition_transformer.apply(
+    def action_context(self, params, batch, rng, train: bool = True):
+        cond = self.condition_transformer.apply(
             params["condition_transformer"],
             {"ref_videos": batch["ref_videos"], "video": batch["video"]},
             return_loss=False, method="batch_forward",
         )[:, -1]
+        if not train:
+            return cond
+        # zeros-video uncond branch at uncond_prob (reference
+        # ddpm3d.py:1352-1355: encode_vision on zeros, not a CT forward)
+        b = cond.shape[0]
+        drop = jax.random.bernoulli(rng, self.action_uncond_prob, (b,))
+        uncond = self.uncond_action_context(params, batch)
+        return jnp.where(drop[:, None, None], uncond, cond)
+
+    def uncond_action_context(self, params, batch):
+        """encode_vision on a zeros video (reference inference.py:256-258)."""
+        ref = jnp.asarray(batch["ref_videos"])
+        return self.condition_transformer.apply(
+            params["condition_transformer"],
+            jnp.zeros_like(ref[:, 0:1]), method="encode_vision",
+        )[:, 0]

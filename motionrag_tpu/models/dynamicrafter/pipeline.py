@@ -42,12 +42,11 @@ class DynamiCrafterPipeline:
         prompt = module.text_encoder.apply(
             params["text_encoder"], jnp.asarray(prompt_ids)
         )
-        # empty-prompt slot; reference uses the encoded empty string
-        uncond_prompt = (
-            jnp.zeros_like(prompt)
-            if neg_ids is None
-            else module.text_encoder.apply(params["text_encoder"], neg_ids)
-        )
+        # encoded null prompt "" (reference uncond_type='empty_seq',
+        # inference.py:242-245) — same branch the training dropout substitutes
+        if neg_ids is None:
+            neg_ids = module.null_ids(prompt.shape[0], prompt_ids.shape[1])
+        uncond_prompt = module.text_encoder.apply(params["text_encoder"], neg_ids)
         image_ctx = module.image_context(params, image)
         uncond_image_ctx = module.image_context(params, jnp.zeros_like(image))
         return c_concat, prompt, uncond_prompt, image_ctx, uncond_image_ctx
@@ -131,20 +130,22 @@ class DynamiCrafterPipeline:
         rng_lat, rng_act = jax.random.split(rng)
 
         neg_ids = batch.get("negative_prompt_ids")
+        prompt_ids = batch.get("prompt_ids")
+        if prompt_ids is None:
+            prompt_ids = module.null_ids(b, 77)
         c_concat, prompt, uncond_prompt, image_ctx, uncond_image_ctx = (
             self._conditioning(
-                params, video, jnp.asarray(batch["prompt_ids"]),
+                params, video, jnp.asarray(prompt_ids),
                 None if neg_ids is None else jnp.asarray(neg_ids), num_frames,
             )
         )
 
-        action = module.action_context(params, batch, rng_act)
+        action = module.action_context(params, batch, rng_act, train=False)
         uncond_action = None
         if action is not None:
-            zero_batch = dict(batch)
-            zero_batch["ref_videos"] = jnp.zeros_like(jnp.asarray(batch["ref_videos"]))
-            zero_batch["video"] = jnp.zeros_like(video)
-            uncond_action = module.action_context(params, zero_batch, rng_act)
+            # per-backbone uncond branch identical to the training dropout
+            # branch (reference inference.py:249-258)
+            uncond_action = module.uncond_action_context(params, batch)
 
         dtype = module.dtype
         ctx_cond = {

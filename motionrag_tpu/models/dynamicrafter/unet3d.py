@@ -195,8 +195,11 @@ class TemporalTransformer3D(nn.Module):
         residual = x
         scale = self.param("norm_scale", nn.initializers.ones, (c,))
         bias = self.param("norm_bias", nn.initializers.zeros, (c,))
-        hidden = group_norm(x, 32, scale, bias, eps=1e-6)
-        # [(b t), h, w, c] -> [(b h w), t, c]
+        # lvdm's temporal GroupNorm runs on [b, c, t, h, w] — statistics
+        # reduce over t as well (attention.py:357,398), unlike the per-frame
+        # spatial transformer norm
+        hidden = group_norm(x.reshape(b, num_frames, h, w, c), 32, scale, bias, eps=1e-6)
+        # [b, t, h, w, c] -> [(b h w), t, c]
         hidden = hidden.reshape(b, num_frames, h * w, c).transpose(0, 2, 1, 3)
         hidden = hidden.reshape(b * h * w, num_frames, c)
         hidden = nn.Dense(inner, dtype=self.dtype, name="proj_in")(hidden)
@@ -394,10 +397,12 @@ class UNet3D(nn.Module):
                         hidden = temporal(ch, f"input_{level}_{i}_temporal")(hidden, t)
                 residuals.append(hidden)
             if level != len(self.channel_mult) - 1:
-                hidden = jnp.pad(hidden, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                # lvdm Downsample is stride-2 conv with SYMMETRIC padding=1
+                # (openaimodel3d.py:61-71) — unlike the diffusers-VAE (0,1)
+                # convention
                 hidden = nn.Conv(
-                    ch, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
-                    name=f"input_{level}_down",
+                    ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name=f"input_{level}_down",
                 )(hidden)
                 residuals.append(hidden)
                 ds *= 2
