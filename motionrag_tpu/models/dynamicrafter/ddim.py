@@ -56,9 +56,9 @@ class LVDMSchedule:
         betas = make_beta_schedule(num_timesteps, linear_start, linear_end)
         if rescale_betas_zero_snr:
             betas = rescale_zero_terminal_snr(betas)
+        # zero-terminal-SNR makes acp[-1] EXACTLY 0 (the point of the
+        # rescale); do not clip — v-param math never divides by acp
         acp = np.cumprod(1.0 - betas)
-        if rescale_betas_zero_snr:
-            acp = np.clip(acp, 2 ** -24, None)
         self.num_timesteps = num_timesteps
         self.alphas_cumprod = jnp.asarray(acp, jnp.float32)
         self.use_dynamic_rescale = use_dynamic_rescale
@@ -108,8 +108,9 @@ class LVDMSchedule:
 def _rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
     """reference lvdm ``utils_diffusion.py`` rescale_noise_cfg."""
     axes = tuple(range(1, noise_cfg.ndim))
-    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
-    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    # torch Tensor.std applies Bessel's correction (ddof=1)
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True, ddof=1)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True, ddof=1)
     rescaled = noise_cfg * (std_text / jnp.maximum(std_cfg, 1e-8))
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
@@ -129,17 +130,21 @@ def ddim_sample(
 
     denoise_fn(x, t) -> (pred_cond, pred_uncond); latents [b, t, h, w, c].
     """
-    ts = jnp.asarray(schedule.ddim_timesteps(num_steps, timestep_spacing))
+    ts_np = schedule.ddim_timesteps(num_steps, timestep_spacing)
+    ts = jnp.asarray(ts_np)
     acp = schedule.alphas_cumprod
     scale_arr = schedule.scale_arr
-    n = num_steps
+    # 'uniform' spacing can yield ceil(n/c) entries (one more than requested)
+    # -- the reference iterates over ALL of them (make_ddim_timesteps)
+    n = len(ts_np)
 
     def body(i, x):
         idx = n - 1 - i  # descending through the ddim steps
         t = ts[idx]
         a_t = acp[t]
-        t_prev = jnp.where(idx > 0, ts[jnp.maximum(idx - 1, 0)], -1)
-        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+        # reference boundary (make_ddim_sampling_parameters): the final step
+        # (index 0) uses alphas_cumprod[0] / scale_arr[ts[0]], NOT 1.0
+        a_prev = jnp.where(idx > 0, acp[ts[jnp.maximum(idx - 1, 0)]], acp[0])
 
         pred_c, pred_u = denoise_fn(x, t)
         model_out = pred_u + guidance_scale * (pred_c - pred_u)
@@ -153,11 +158,15 @@ def ddim_sample(
             pred_x0 = schedule.predict_x0_from_v(xf, mo, a_t)
         else:
             e_t = mo
-            pred_x0 = (xf - jnp.sqrt(1.0 - a_t) * e_t) / jnp.sqrt(a_t)
+            pred_x0 = (xf - jnp.sqrt(1.0 - a_t) * e_t) / jnp.sqrt(
+                jnp.maximum(a_t, 2.0 ** -24)
+            )
 
         if schedule.use_dynamic_rescale:
             scale_t = scale_arr[t]
-            prev_scale = jnp.where(t_prev >= 0, scale_arr[jnp.maximum(t_prev, 0)], 1.0)
+            prev_scale = jnp.where(
+                idx > 0, scale_arr[ts[jnp.maximum(idx - 1, 0)]], scale_arr[ts[0]]
+            )
             pred_x0 = pred_x0 * (prev_scale / scale_t)
 
         dir_xt = jnp.sqrt(1.0 - a_prev) * e_t  # eta=0
@@ -185,17 +194,17 @@ def ddim_sample_dual_cfg(
     denoise_fn3(x, t) -> (pred_full, pred_img_only, pred_uncond), typically a
     batched-3x model call.
     """
-    ts = jnp.asarray(schedule.ddim_timesteps(num_steps, timestep_spacing))
+    ts_np = schedule.ddim_timesteps(num_steps, timestep_spacing)
+    ts = jnp.asarray(ts_np)
     acp = schedule.alphas_cumprod
     scale_arr = schedule.scale_arr
-    n = num_steps
+    n = len(ts_np)
 
     def body(i, x):
         idx = n - 1 - i
         t = ts[idx]
         a_t = acp[t]
-        t_prev = jnp.where(idx > 0, ts[jnp.maximum(idx - 1, 0)], -1)
-        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+        a_prev = jnp.where(idx > 0, acp[ts[jnp.maximum(idx - 1, 0)]], acp[0])
 
         pred_full, pred_img, pred_uc = denoise_fn3(x, t)
         model_out = (
@@ -210,7 +219,9 @@ def ddim_sample_dual_cfg(
         e_t = schedule.predict_eps_from_v(xf, mo, a_t)
         pred_x0 = schedule.predict_x0_from_v(xf, mo, a_t)
         if schedule.use_dynamic_rescale:
-            prev_scale = jnp.where(t_prev >= 0, scale_arr[jnp.maximum(t_prev, 0)], 1.0)
+            prev_scale = jnp.where(
+                idx > 0, scale_arr[ts[jnp.maximum(idx - 1, 0)]], scale_arr[ts[0]]
+            )
             pred_x0 = pred_x0 * (prev_scale / scale_arr[t])
         x_prev = jnp.sqrt(a_prev) * pred_x0 + jnp.sqrt(1.0 - a_prev) * e_t
         return x_prev.astype(x.dtype)
