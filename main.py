@@ -19,7 +19,7 @@ def build_from_config(cfg: dict):
 
     trainer_cfg = dict(cfg.get("trainer") or {})
     callbacks = [instantiate_tree(cb) if isinstance(cb, dict) else cb
-                 for cb in trainer_cfg.pop("callbacks", [])]
+                 for cb in (trainer_cfg.pop("callbacks", None) or [])]
     trainer_cfg = {k: instantiate_tree(v) for k, v in trainer_cfg.items()}
     from motionrag_tpu.training.trainer import Trainer
 

@@ -40,7 +40,8 @@ class MetricLogger:
             self._metric = self.metric_factory()
         return self._metric
 
-    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts):
+    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts,
+                          sample_ids=None):
         metric = self.metric()
         metric.reset()
         try:
@@ -99,13 +100,24 @@ class SaveSampleMetrics:
         self.metrics = metrics
         self.save_dir = Path(save_dir)
 
-    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts):
+    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts,
+                          sample_ids=None):
         gen = np.concatenate(generated, axis=0) if generated else np.empty(0)
         gt = np.concatenate(ground_truth, axis=0) if ground_truth else np.empty(0)
-        ids = list(range(len(gen)))
-        records: dict = {i: {} for i in ids}
+        # key by sample id with dedup, sorted by id (reference wrapper.py:
+        # 8-61 cats video_id across ranks and dedups) — a distributed
+        # sampler may deliver the same sample twice (padding); last wins
+        ids = list(sample_ids) if sample_ids else list(range(len(gen)))
+        keep: dict = {}
+        for row, sid in enumerate(ids[: len(gen)]):
+            keep[sid] = row
+        order = sorted(keep)
+        rows = [keep[sid] for sid in order]
+        gen, gt = gen[rows], gt[rows]
+        prompts = [prompts[r] for r in rows] if prompts else prompts
+        records: dict = {sid: {} for sid in order}
         for name, wrapper in self.metrics.items():
-            for sid, score in wrapper(gen, gt, ids, prompts).items():
+            for sid, score in wrapper(gen, gt, order, prompts).items():
                 records[sid][name] = score
         self.save_dir.mkdir(parents=True, exist_ok=True)
         with (self.save_dir / "sample_metrics.pkl").open("wb") as f:

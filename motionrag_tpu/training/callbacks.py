@@ -73,7 +73,7 @@ class SaveVideo:
         self.save_gt = save_gt
         self._counter = 0
 
-    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts):
+    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts, **kwargs):
         from motionrag_tpu.data.video_io import write_video
 
         out = self.save_dir / stage
@@ -99,7 +99,7 @@ class SaveImage:
     def __init__(self, save_dir: str = "outputs/images"):
         self.save_dir = Path(save_dir)
 
-    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts):
+    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts, **kwargs):
         from PIL import Image
 
         out = self.save_dir / stage
@@ -119,7 +119,7 @@ class SaveLastFrame:
     def __init__(self, save_dir: str = "outputs/last_frames"):
         self.save_dir = Path(save_dir)
 
-    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts):
+    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts, **kwargs):
         from PIL import Image
 
         self.save_dir.mkdir(parents=True, exist_ok=True)
@@ -141,7 +141,7 @@ class VideoLogger:
         self.source_dir = Path(source_dir)
         self.max_videos = max_videos
 
-    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts):
+    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts, **kwargs):
         src = self.source_dir / stage
         if not src.exists():
             return {}

@@ -148,10 +148,32 @@ class Trainer:
         rng = jax.random.key(self.seed)
         rng, init_rng = jax.random.split(rng)
         params = module.init_params(init_rng, batch_template)
+        # LoRA (reference base_module.py:57-63 / lora_utils.py): low-rank
+        # trees for every kernel matching lora_trainable_modules, stored
+        # under params['lora'] so the optimizer mask / incremental
+        # checkpoints treat them like any other trainable leaves
+        lora_patterns = tuple(getattr(module, "lora_trainable_modules", ()) or ())
+        if lora_patterns:
+            from motionrag_tpu.training.lora import init_lora
+
+            rng, lora_rng = jax.random.split(rng)
+            lora_tree = init_lora(
+                lora_rng, params, lora_patterns,
+                rank=int(getattr(module, "lora_rank", 64)),
+            )
+            if not lora_tree:
+                raise ValueError(
+                    f"lora_trainable_modules {lora_patterns} matched no 2D kernels"
+                )
+            params = dict(params, lora=lora_tree)
         if ckpt_path:
             params = ckpt_lib.restore_into(ckpt_path, params)
+        trainable_patterns = list(module.trainable_patterns)
+        if lora_patterns:
+            trainable_patterns.append("lora")
+        self._validate_patterns(module, params)
         self.tx, self.mask = build_optimizer(
-            params, module.trainable_patterns, **self.optimizer_config
+            params, trainable_patterns, **self.optimizer_config
         )
         # place params per the sharding policy; optimizer state and EMA
         # inherit the shardings through zeros_like/astype
@@ -176,10 +198,39 @@ class Trainer:
         print(f"params: {n_total / 1e6:.1f}M total, {n_train / 1e6:.1f}M trainable", flush=True)
         return state
 
+    def _validate_patterns(self, module, params):
+        """Warn on freeze/full/lora patterns that match nothing — the
+        reference silently no-ops these (base_module.py:44-66); surfacing
+        typos is strictly safer. freeze_modules itself needs no mask action:
+        like the reference, the optimizer only ever receives full+lora
+        parameters, so everything else is frozen by construction."""
+        from motionrag_tpu.training.optim import path_tokens as _pt
+        from motionrag_tpu.training.optim import pattern_matches as _pm
+
+        all_tokens = [
+            _pt(path) for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+        ]
+        for field in ("freeze_modules", "full_trainable_modules", "lora_trainable_modules"):
+            for pat in getattr(module, field, ()) or ():
+                if not any(_pm(toks, pat) for toks in all_tokens):
+                    print(f"WARNING: {field} pattern {pat!r} matches no parameters",
+                          flush=True)
+
+    @staticmethod
+    def _merged_params(params):
+        """Apply LoRA deltas for module consumption (no-op without LoRA)."""
+        if not isinstance(params, dict) or "lora" not in params:
+            return params
+        from motionrag_tpu.training.lora import merge_lora
+
+        base = {k: v for k, v in params.items() if k != "lora"}
+        return merge_lora(base, params["lora"])
+
     def _make_train_step(self, module):
         mask = self.mask
         tx = self.tx
         use_ema = self.use_ema
+        merged = self._merged_params
 
         def train_step(state: TrainState, batch: dict):
             rng, step_rng = jax.random.split(state.rng)
@@ -188,7 +239,7 @@ class Trainer:
                 p = jax.tree.map(
                     lambda x, m: x if m else jax.lax.stop_gradient(x), params, mask
                 )
-                return module.loss(p, batch, step_rng)
+                return module.loss(merged(p), batch, step_rng)
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -264,7 +315,10 @@ class Trainer:
                 train_iter = iter(datamodule.train_dataloader())
                 batch = next(train_iter)
 
-        self.save_checkpoint(state, int(jax.device_get(state.step)))
+        final_step = int(jax.device_get(state.step))
+        if not (self.checkpoint_every_n_steps
+                and final_step % self.checkpoint_every_n_steps == 0):
+            self.save_checkpoint(state, final_step)  # not already saved above
         return state
 
     def validate(self, module, state, datamodule, limit: Optional[int] = None):
@@ -289,11 +343,12 @@ class Trainer:
             sums: dict[str, float] = {}
             n = 0
             loss_fn = getattr(module, "validation_loss", module.loss)
+            eval_params = self._merged_params(state.params)
             for i, batch in enumerate(loader):
                 if limit is not None and i >= limit:
                     break
                 rng, step_rng = jax.random.split(rng)
-                loss, metrics = loss_fn(state.params, self._shard_batch(batch), step_rng)
+                loss, metrics = loss_fn(eval_params, self._shard_batch(batch), step_rng)
                 for k, v in {**metrics, f"{stage}/loss": loss}.items():
                     sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
                 n += 1
@@ -301,25 +356,36 @@ class Trainer:
             if results:
                 self.logger.log(results, int(jax.device_get(state.step)))
             return results
-        generated, ground_truth, prompts = [], [], []
+        generated, ground_truth, prompts, sample_ids = [], [], [], []
         rng = jax.random.key(self.seed + 1)
+        eval_params = self._merged_params(state.params)
         for i, batch in enumerate(loader):
             if limit is not None and i >= limit:
                 break
             rng, step_rng = jax.random.split(rng)
-            frames = module.eval_pipeline(state.params, batch, step_rng)
+            frames = module.eval_pipeline(eval_params, batch, step_rng)
             videos = tensor2vid(frames)  # uint8 [b f c h w] host
             assert_video_output(videos)
             generated.append(videos)
             gt = np.asarray(batch["video"])
             ground_truth.append(((np.clip(gt, -1, 1) + 1) * 127.5).round().astype(np.uint8))
-            prompts.extend(
-                m.get("raw_prompt", "") for m in batch.get("metadata", [{}] * videos.shape[0])
+            meta = batch.get("metadata", [{}] * videos.shape[0])
+            prompts.extend(m.get("raw_prompt", "") for m in meta)
+            # per-sample identity for dedup/ordering (reference wrapper.py
+            # keys per-sample scores by video id, not running index)
+            sample_ids.extend(
+                m.get("id", len(sample_ids) + j) for j, m in enumerate(meta)
             )
         results = {}
         for cb in self.callbacks:
             if hasattr(cb, "on_eval_epoch_end"):
-                out = cb.on_eval_epoch_end(self, stage, generated, ground_truth, prompts)
+                try:
+                    out = cb.on_eval_epoch_end(
+                        self, stage, generated, ground_truth, prompts,
+                        sample_ids=sample_ids,
+                    )
+                except TypeError:
+                    out = cb.on_eval_epoch_end(self, stage, generated, ground_truth, prompts)
                 if out:
                     results.update(out)
         if results:

@@ -22,6 +22,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: trainer/sampler jits take minutes each on the
+# single host core; identical HLO across runs (and across tests) hits disk.
+# Kept separate from the TPU bench cache (.jax_cache).
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
