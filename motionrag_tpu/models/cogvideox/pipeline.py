@@ -66,8 +66,24 @@ class CogVideoXImageToVideoPipeline:
         return self.vae.apply(params["vae"], img_vid.astype(self.dtype), method="encode")
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _decode_latents(self, params, latents):
-        return self.vae.apply(params["vae"], latents.astype(self.dtype), method="decode")
+    def _decode_chunk(self, variables, z):
+        return self.vae.apply(variables, z, True, method="decode", mutable=("cache",))
+
+    def _decode_latents(self, params, latents, frame_batch_size: int = 2):
+        """Streaming frame-batched decode (the reference's default diffusers
+        decode path). Caps per-launch activation memory AND device-program
+        runtime — both load-bearing at 49f where a monolithic decode OOMs.
+        At most two chunk shapes compile; conv caches stay on device."""
+        from motionrag_tpu.models.cogvideox.vae3d import decode_chunked
+
+        if latents.shape[1] <= frame_batch_size + 1:
+            return self.vae.apply(
+                params["vae"], latents.astype(self.dtype), method="decode"
+            )
+        return decode_chunked(
+            self.vae, params["vae"], latents.astype(self.dtype), frame_batch_size,
+            decode_fn=lambda variables, z, mutable: self._decode_chunk(variables, z),
+        )
 
     def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None,
                                   do_classifier_free_guidance=False, image=None):

@@ -25,7 +25,15 @@ __all__ = ["CogVideoXVAE"]
 
 
 class CausalConv3d(nn.Module):
-    """Conv3d with causal (front, edge-replicate) temporal padding."""
+    """Conv3d with causal temporal padding (replicate first frame), zero
+    spatial padding (diffusers CogVideoXCausalConv3d, pad_mode='constant').
+
+    ``chunked=True`` enables the streaming conv cache: the front padding is
+    taken from the previous chunk's trailing ``kt-1`` input frames, stored in
+    the mutable ``cache`` variable collection (diffusers' ``conv_cache``
+    threading, ``autoencoder_kl_cogvideox.fake_context_parallel_forward``).
+    Chunked decode is therefore bit-equivalent to the reference's default
+    frame-batched decode, and frame t never sees t+1 either way."""
 
     features: int
     kernel: tuple[int, int, int] = (3, 3, 3)
@@ -33,14 +41,24 @@ class CausalConv3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, chunked: bool = False):
         kt, kh, kw = self.kernel
-        # temporal: pad front only (causal); spatial: symmetric
         pad_t = kt - 1
+        if pad_t:
+            if chunked:
+                tail = self.variable(
+                    "cache", "tail", lambda: jnp.repeat(x[:, :1], pad_t, axis=1)
+                )
+                x = jnp.concatenate([tail.value.astype(x.dtype), x], axis=1)
+                if self.is_mutable_collection("cache"):
+                    tail.value = x[:, x.shape[1] - pad_t :]
+            else:
+                x = jnp.pad(
+                    x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)), mode="edge"
+                )
         ph, pw = (kh - 1) // 2, (kw - 1) // 2
-        x = jnp.pad(
-            x, ((0, 0), (pad_t, 0), (ph, ph), (pw, pw), (0, 0)), mode="edge"
-        )
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw), (0, 0)))
         return nn.Conv(
             self.features, self.kernel, strides=self.strides, padding="VALID",
             dtype=self.dtype, name="conv",
@@ -53,21 +71,21 @@ class ResnetBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, chunked: bool = False):
         in_ch = x.shape[-1]
         residual = x
         s1 = self.param("norm1_scale", nn.initializers.ones, (in_ch,))
         b1 = self.param("norm1_bias", nn.initializers.zeros, (in_ch,))
         h = group_norm(x, self.groups, s1, b1, eps=1e-6, act="silu")
-        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h, chunked)
         s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
         b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
         h = group_norm(h, self.groups, s2, b2, eps=1e-6, act="silu")
-        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h, chunked)
         if in_ch != self.out_channels:
             residual = CausalConv3d(
                 self.out_channels, (1, 1, 1), dtype=self.dtype, name="conv_shortcut"
-            )(residual)
+            )(residual, chunked)
         return h + residual
 
 
@@ -87,10 +105,17 @@ def _compress_time(x):
 
 
 def _expand_time(x):
-    """Inverse of _compress_time: first frame kept, others repeated 2x."""
-    first, rest = x[:, :1], x[:, 1:]
-    rest = jnp.repeat(rest, 2, axis=1)
-    return jnp.concatenate([first, rest], axis=1)
+    """Inverse of _compress_time. Odd frame count means the chunk contains
+    the true first frame (1+2n layout): keep it un-duplicated. Even count is
+    a continuation chunk: every frame expands 2x (diffusers
+    CogVideoXUpsample3D's ``shape[2] % 2`` dispatch)."""
+    if x.shape[1] == 1:
+        return x
+    if x.shape[1] % 2 == 1:
+        first, rest = x[:, :1], x[:, 1:]
+        rest = jnp.repeat(rest, 2, axis=1)
+        return jnp.concatenate([first, rest], axis=1)
+    return jnp.repeat(x, 2, axis=1)
 
 
 class Downsample3D(nn.Module):
@@ -165,16 +190,16 @@ class VAE3DDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, chunked: bool = False):
         ch = self.block_out_channels[-1]
-        x = CausalConv3d(ch, dtype=self.dtype, name="conv_in")(z)
-        x = ResnetBlock3D(ch, dtype=self.dtype, name="mid_res_0")(x)
-        x = ResnetBlock3D(ch, dtype=self.dtype, name="mid_res_1")(x)
+        x = CausalConv3d(ch, dtype=self.dtype, name="conv_in")(z, chunked)
+        x = ResnetBlock3D(ch, dtype=self.dtype, name="mid_res_0")(x, chunked)
+        x = ResnetBlock3D(ch, dtype=self.dtype, name="mid_res_1")(x, chunked)
         rev = list(reversed(self.block_out_channels))
         n = len(rev)
         for i, out_ch in enumerate(rev):
             for j in range(self.layers_per_block + 1):
-                x = ResnetBlock3D(out_ch, dtype=self.dtype, name=f"up_{i}_res_{j}")(x)
+                x = ResnetBlock3D(out_ch, dtype=self.dtype, name=f"up_{i}_res_{j}")(x, chunked)
             if i < n - 1:
                 # temporal expansion mirrors encoder compression (last blocks)
                 x = Upsample3D(
@@ -185,7 +210,7 @@ class VAE3DDecoder(nn.Module):
         s = self.param("norm_out_scale", nn.initializers.ones, (ch0,))
         b = self.param("norm_out_bias", nn.initializers.zeros, (ch0,))
         x = group_norm(x, 32, s, b, eps=1e-6, act="silu")
-        return CausalConv3d(self.out_channels, dtype=self.dtype, name="conv_out")(x)
+        return CausalConv3d(self.out_channels, dtype=self.dtype, name="conv_out")(x, chunked)
 
 
 class CogVideoXVAE(nn.Module):
@@ -215,8 +240,42 @@ class CogVideoXVAE(nn.Module):
             mean = mean + std.astype(mean.dtype) * jax.random.normal(rng, mean.shape, mean.dtype)
         return mean * self.scaling_factor
 
-    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
-        return self.decoder(latents / self.scaling_factor)
+    def decode(self, latents: jnp.ndarray, chunked: bool = False) -> jnp.ndarray:
+        return self.decoder(latents / self.scaling_factor, chunked)
 
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
         return self.decode(self.encode(video))
+
+
+def decode_chunked(vae: CogVideoXVAE, params, latents, frame_batch_size: int = 2,
+                   decode_fn=None):
+    """Streaming decode: latent frames in chunks of ``frame_batch_size``
+    (first chunk absorbs the remainder so it carries the true first frame),
+    causal conv caches threaded between chunks — the reference's default
+    frame-batched VAE decode (diffusers ``AutoencoderKLCogVideoX.decode``).
+    Peak activation memory drops from O(T_out) to O(4*frame_batch_size)
+    frames. ``decode_fn(variables, z, mutable)`` may be supplied to wrap each
+    chunk apply (e.g. jit); it must forward to ``vae.apply(..., chunked=True,
+    method='decode')`` and return ``(frames, {'cache': ...})``.
+
+    The python loop runs at most two distinct chunk shapes (first, rest), so
+    jitting ``decode_fn`` costs two compiles and keeps every device program
+    small — load-bearing under the tunnel's program-runtime kill."""
+    t = latents.shape[1]
+    if decode_fn is None:
+        def decode_fn(variables, z, mutable):
+            return vae.apply(variables, z, True, method="decode", mutable=mutable)
+    n_chunks = max(t // frame_batch_size, 1)
+    rem = t % frame_batch_size if t > frame_batch_size else 0
+    outs = []
+    cache = {}
+    for i in range(n_chunks):
+        start = i * frame_batch_size + (0 if i == 0 else rem)
+        end = (i + 1) * frame_batch_size + rem
+        variables = dict(params)
+        if cache:
+            variables["cache"] = cache
+        frames, state = decode_fn(variables, latents[:, start:end], ("cache",))
+        cache = state["cache"]
+        outs.append(frames)
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]

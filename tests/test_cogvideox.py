@@ -104,6 +104,54 @@ def test_causal_conv3d_is_temporally_causal():
     assert not np.allclose(np.asarray(y1[:, 4:]), np.asarray(y2[:, 4:]), atol=1e-4)
 
 
+def test_causal_conv3d_streaming_cache_matches_monolithic():
+    """Chunked conv with the conv-cache (diffusers conv_cache threading)
+    reproduces the monolithic causal conv bit-for-bit."""
+    from motionrag_tpu.models.cogvideox.vae3d import CausalConv3d
+
+    conv = CausalConv3d(4, (3, 3, 3), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 7, 8, 8, 3)), jnp.float32)
+    params = conv.init(jax.random.key(0), x)
+    full = conv.apply(params, x)
+
+    outs, cache = [], {}
+    for chunk in (x[:, :3], x[:, 3:5], x[:, 5:7]):
+        variables = dict(params)
+        if cache:
+            variables["cache"] = cache
+        y, state = conv.apply(variables, chunk, True, mutable=("cache",))
+        cache = state["cache"]
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), np.asarray(full),
+                               atol=1e-6)
+
+
+def test_vae3d_chunked_decode():
+    """Frame-batched decode (the reference's default diffusers decode path):
+    13 latent frames -> 49 output frames in 2-frame chunks, and chunked
+    output is causal — a later-chunk perturbation never changes earlier
+    frames."""
+    from motionrag_tpu.models.cogvideox.vae3d import decode_chunked
+
+    vae = tiny_vae()
+    z = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 13, 4, 4, 4)), jnp.float32
+    )
+    params = vae.init(jax.random.key(0), jnp.zeros((1, 9, 32, 32, 3)))
+    out = decode_chunked(vae, params, z, frame_batch_size=2)
+    assert out.shape == (1, 49, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    z2 = z.at[:, 11:].add(1.0)  # last chunk only
+    out2 = decode_chunked(vae, params, z2, frame_batch_size=2)
+    # frames from latents [0:11] -> output frames [0:41] unchanged
+    np.testing.assert_allclose(
+        np.asarray(out[:, :41]), np.asarray(out2[:, :41]), atol=1e-5
+    )
+    assert not np.allclose(np.asarray(out[:, 41:]), np.asarray(out2[:, 41:]), atol=1e-4)
+
+
 @pytest.fixture(scope="module")
 def cog_setup():
     module = CogVideoX5B(
