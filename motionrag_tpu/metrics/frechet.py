@@ -77,8 +77,11 @@ def _default_i3d_feature_fn(dtype=None):
 
     from motionrag_tpu.metrics.i3d import I3D
 
+    from motionrag_tpu.metrics.weights import load_metric_weights
+    from motionrag_tpu.utils.porting_metrics import port_i3d
+
     model = I3D()
-    params = None
+    params = load_metric_weights("i3d", port_i3d)
     apply = jax.jit(lambda p, v: model.apply(p, v))
 
     def fn(videos_u8: np.ndarray) -> np.ndarray:
@@ -104,8 +107,11 @@ def _default_inception_feature_fn():
 
     from motionrag_tpu.metrics.inception import InceptionV3
 
+    from motionrag_tpu.metrics.weights import load_metric_weights
+    from motionrag_tpu.utils.porting_metrics import port_inception_v3
+
     model = InceptionV3()
-    params = {}
+    params = load_metric_weights("inception_v3", port_inception_v3) or {}
     apply = jax.jit(lambda p, f: model.apply(p, f))
 
     def fn(frames_u8: np.ndarray) -> np.ndarray:

@@ -44,7 +44,17 @@ class MotionDistance(Metric):
     def __init__(self, hist_bins: int = 256, flow_fn: Optional[Callable] = None):
         super().__init__()
         self.hist_bins = hist_bins
-        self.flow_fn = flow_fn or farneback_flow
+        if flow_fn is None:
+            # turnkey: use RAFT when ported weights are present, else
+            # Farneback (identical histogram/KL math)
+            from motionrag_tpu.metrics.weights import load_metric_weights
+            from motionrag_tpu.utils.porting_metrics import port_raft
+
+            raft_vars = load_metric_weights("raft_large", port_raft)
+            flow_fn = (
+                raft_flow_fn(raft_vars["params"]) if raft_vars else farneback_flow
+            )
+        self.flow_fn = flow_fn
         self.add_state("motion_kl", 0.0)
         self.add_state("num_samples", 0)
 

@@ -21,8 +21,12 @@ import jax.numpy as jnp
 __all__ = ["RAFT"]
 
 
-def instance_norm(x, scale, bias, eps=1e-5):
-    # x: [b, h, w, c]; stats per (b, c) over spatial
+def instance_norm(x, scale, bias, eps=1e-5, mode="instance"):
+    # x: [b, h, w, c]; stats per (b, c) over spatial. mode='affine' applies
+    # only scale/bias — inference-time BatchNorm with running stats folded
+    # in at port time (torchvision raft_large context encoder is BN).
+    if mode == "affine":
+        return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.var(xf, axis=(1, 2), keepdims=True)
@@ -33,6 +37,7 @@ def instance_norm(x, scale, bias, eps=1e-5):
 class ResUnit(nn.Module):
     features: int
     stride: int = 1
+    norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -44,20 +49,21 @@ class ResUnit(nn.Module):
         b2 = self.param("norm2_bias", nn.initializers.zeros, (self.features,))
         h = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=1, dtype=self.dtype, name="conv1")(x)
-        h = nn.relu(instance_norm(h, s1, b1))
+        h = nn.relu(instance_norm(h, s1, b1, mode=self.norm))
         h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
-        h = instance_norm(h, s2, b2)
+        h = instance_norm(h, s2, b2, mode=self.norm)
         if self.stride != 1 or in_ch != self.features:
             sd = self.param("down_scale", nn.initializers.ones, (self.features,))
             bd = self.param("down_bias", nn.initializers.zeros, (self.features,))
             x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
                         dtype=self.dtype, name="downsample")(x)
-            x = instance_norm(x, sd, bd)
+            x = instance_norm(x, sd, bd, mode=self.norm)
         return nn.relu(x + h)
 
 
 class FeatureEncoder(nn.Module):
     out_channels: int = 256
+    norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -66,13 +72,13 @@ class FeatureEncoder(nn.Module):
         s0 = self.param("norm1_scale", nn.initializers.ones, (64,))
         b0 = self.param("norm1_bias", nn.initializers.zeros, (64,))
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype, name="conv1")(x)
-        h = nn.relu(instance_norm(h, s0, b0))
-        h = ResUnit(64, dtype=self.dtype, name="layer1_0")(h)
-        h = ResUnit(64, dtype=self.dtype, name="layer1_1")(h)
-        h = ResUnit(96, 2, dtype=self.dtype, name="layer2_0")(h)
-        h = ResUnit(96, dtype=self.dtype, name="layer2_1")(h)
-        h = ResUnit(128, 2, dtype=self.dtype, name="layer3_0")(h)
-        h = ResUnit(128, dtype=self.dtype, name="layer3_1")(h)
+        h = nn.relu(instance_norm(h, s0, b0, mode=self.norm))
+        h = ResUnit(64, norm=self.norm, dtype=self.dtype, name="layer1_0")(h)
+        h = ResUnit(64, norm=self.norm, dtype=self.dtype, name="layer1_1")(h)
+        h = ResUnit(96, 2, norm=self.norm, dtype=self.dtype, name="layer2_0")(h)
+        h = ResUnit(96, norm=self.norm, dtype=self.dtype, name="layer2_1")(h)
+        h = ResUnit(128, 2, norm=self.norm, dtype=self.dtype, name="layer3_0")(h)
+        h = ResUnit(128, norm=self.norm, dtype=self.dtype, name="layer3_1")(h)
         return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv2")(h)
 
 
@@ -206,7 +212,9 @@ class RAFT(nn.Module):
         fnet = FeatureEncoder(256, dtype=self.dtype, name="fnet")
         fmap1 = fnet(x1)
         fmap2 = fnet(x2)
-        cmap = FeatureEncoder(256, dtype=self.dtype, name="cnet")(x1)
+        # torchvision raft_large: context encoder uses BatchNorm (folded to
+        # an affine at port time); feature encoder uses InstanceNorm
+        cmap = FeatureEncoder(256, norm="affine", dtype=self.dtype, name="cnet")(x1)
         net = jnp.tanh(cmap[..., :128])
         inp = nn.relu(cmap[..., 128:])
 

@@ -1,10 +1,11 @@
 """ViCLIP scores (video-native CLIP t2v / v2v, reference
 ``src/metrics/viclip.py:12-54``: 8-frame uniform sampling).
 
-The reference pulls the ViCLIP backbone via trust_remote_code; here the
-video feature fn is pluggable (ported ViCLIP weights slot straight in). The
-default stand-in encodes 8 uniformly sampled frames with the generic video
-ViT and mean-pools — same API, documented substitute until the ViCLIP port.
+The video backbone is the real ViCLIP-L/14 joint space-time encoder
+(models/encoders/viclip.py, the InternVideo architecture behind the
+reference's trust_remote_code model), loaded turnkey from
+``$MRT_METRIC_WEIGHTS_DIR/viclip_vision.pt`` when present. Without weights
+the 8-frame VideoMAE mean-pool stand-in keeps the metric math exercised.
 """
 
 from __future__ import annotations
@@ -18,7 +19,41 @@ from motionrag_tpu.metrics.base import Metric
 __all__ = ["ViCLIPScore"]
 
 
+def viclip_video_feature_fn(params=None):
+    """Real ViCLIP-L video features (reference preprocessing: resize 224
+    bicubic-ish, center crop, ImageNet normalize — viclip.py:24-30)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.encoders.condition import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        preprocess_frames,
+    )
+    from motionrag_tpu.models.encoders.viclip import ViCLIPVision
+
+    model = ViCLIPVision()
+    state = {"params": params}
+    apply = jax.jit(lambda p, v: model.apply(p, v))
+
+    def fn(videos_u8: np.ndarray) -> np.ndarray:
+        video = jnp.asarray(videos_u8, jnp.float32) / 255.0 * 2.0 - 1.0
+        video = preprocess_frames(video, 224, IMAGENET_MEAN, IMAGENET_STD)
+        if state["params"] is None:
+            state["params"] = model.init(jax.random.key(0), video[:1])
+        return np.asarray(apply(state["params"], video))
+
+    return fn
+
+
 def _default_video_feature_fn():
+    from motionrag_tpu.metrics.weights import load_metric_weights
+    from motionrag_tpu.models.encoders.viclip import port_viclip_vision
+
+    variables = load_metric_weights("viclip_vision", port_viclip_vision)
+    if variables is not None:
+        return viclip_video_feature_fn(variables)
+
     import jax
     import jax.numpy as jnp
 

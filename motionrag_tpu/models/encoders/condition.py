@@ -97,13 +97,27 @@ class VideoMAEEmbedder(nn.Module):
 
 
 class VideoMAE2Embedder(VideoMAEEmbedder):
-    """VideoMAEv2-Large configuration (reference ``condition.py:403-462``:
-    trust_remote_code AutoModel with manual forward_features — here the same
-    generic ViT at the Large size)."""
+    """VideoMAEv2-Large (reference ``condition.py:403-462``): the actual
+    VideoMAEv2 architecture — BEiT-style q/v bias, LN eps 1e-6, and NO final
+    norm (the reference's manual ``forward_features`` returns the block
+    output; ``use_mean_pooling`` makes the trailing norm an Identity)."""
 
     dim: int = 1024
     depth: int = 24
     heads: int = 16
+
+    def setup(self):
+        self.model = VisionTransformer(
+            variant="videomae2",
+            image_size=self.image_size,
+            patch_size=16,
+            num_frames=self.num_frames,
+            tubelet_size=2,
+            dim=self.dim,
+            depth=self.depth,
+            heads=self.heads,
+            dtype=self.dtype,
+        )
 
 
 class IdentityEncoder(nn.Module):

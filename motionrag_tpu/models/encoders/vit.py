@@ -44,6 +44,7 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     layerscale_init: Optional[float] = None
     ln_eps: float = 1e-6
+    qkv_bias_style: str = "packed"  # 'packed' (HF) or 'beit' (VideoMAEv2)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,8 +54,18 @@ class ViTBlock(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name=name)
 
         h = ln("norm1")(x)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.qkv_bias_style == "beit":
+            # VideoMAEv2 / BEiT: bias-free packed qkv plus separate q/v bias
+            # params, k bias fixed at zero (reference vit.py:158-175)
+            qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q_bias = self.param("q_bias", nn.initializers.zeros, (c,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (c,))
+            q = q + q_bias.astype(q.dtype)
+            v = v + v_bias.astype(v.dtype)
+        else:
+            qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = dot_product_attention(
             q.reshape(b, s, self.heads, head_dim),
             k.reshape(b, s, self.heads, head_dim),
@@ -86,6 +97,12 @@ class VisionTransformer(nn.Module):
                  returns all tokens (cls first) — DINOv2 last_hidden_state.
       'videomae' 3D tubelet patches over [b, t, c, h, w], no cls, fixed
                  sin-cos pos, final LN, returns all tokens.
+      'videomae2' the actual VideoMAEv2 architecture (reference
+                 condition.py:403-462 + vendored vit.py:310-516): tubelet
+                 patches, sin-cos pos, BEiT-style q/v bias (bias-free packed
+                 qkv + separate q_bias/v_bias, k zero), LN eps 1e-6, and NO
+                 final norm (forward_features returns the block output —
+                 use_mean_pooling makes self.norm an Identity).
     """
 
     variant: str = "clip"
@@ -106,12 +123,13 @@ class VisionTransformer(nn.Module):
     def _ln_eps(self) -> float:
         if self.ln_eps is not None:
             return self.ln_eps
-        # HF defaults: VideoMAE 1e-12, DINOv2 1e-6, CLIP 1e-5
-        return {"videomae": 1e-12, "dino": 1e-6, "clip": 1e-5}[self.variant]
+        # HF defaults: VideoMAE 1e-12, DINOv2 1e-6, CLIP 1e-5; the vendored
+        # VideoMAEv2 vit uses 1e-6 (vit_large factory, vit.py:485)
+        return {"videomae": 1e-12, "videomae2": 1e-6, "dino": 1e-6, "clip": 1e-5}[self.variant]
 
     @nn.compact
     def __call__(self, x, return_pooled: bool = False, penultimate: bool = False):
-        if self.variant == "videomae":
+        if self.variant in ("videomae", "videomae2"):
             # x: [b, t, c, h, w] -> tubelet conv3d, NDHWC
             b = x.shape[0]
             x = x.transpose(0, 1, 3, 4, 2)  # [b, t, h, w, c]
@@ -159,7 +177,9 @@ class VisionTransformer(nn.Module):
         for i in range(self.depth):
             hidden = ViTBlock(
                 self.dim, self.heads, self.mlp_ratio,
-                self.layerscale_init, self._ln_eps, self.dtype, name=f"blocks_{i}",
+                self.layerscale_init, self._ln_eps,
+                qkv_bias_style="beit" if self.variant == "videomae2" else "packed",
+                dtype=self.dtype, name=f"blocks_{i}",
             )(hidden)
             if penultimate and i == self.depth - 2:
                 penult = hidden
@@ -167,6 +187,10 @@ class VisionTransformer(nn.Module):
         if penultimate:
             return penult
 
+        if self.variant == "videomae2":
+            # forward_features returns the raw block output (reference
+            # condition.py:434-450; use_mean_pooling -> norm is Identity)
+            return hidden
         out = nn.LayerNorm(epsilon=self._ln_eps, dtype=self.dtype, name="ln_post")(hidden)
         if self.variant == "clip" and (return_pooled or self.projection_dim):
             pooled = out[:, 0]

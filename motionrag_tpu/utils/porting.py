@@ -17,6 +17,7 @@ import numpy as np
 
 __all__ = [
     "port_videomae",
+    "port_videomae2",
     "port_dinov2",
     "port_clip_vision",
     "port_clip_text",
@@ -90,6 +91,51 @@ def port_videomae(sd: dict, depth: int) -> dict:
             "fc2": {
                 "kernel": _t(_np(sd, f"{pre}.output.dense.weight")),
                 "bias": _np(sd, f"{pre}.output.dense.bias"),
+            },
+        }
+    return {"params": p}
+
+
+def port_videomae2(sd: dict, depth: int) -> dict:
+    """VideoMAEv2 state_dict (OpenGVLab trust_remote_code model; the arch
+    is the reference's vendored vit.py VisionTransformer) ->
+    VisionTransformer(variant='videomae2') params tree.
+
+    Keys may carry a 'model.' prefix (the remote-code wrapper nests the
+    backbone as .model); both spellings are accepted."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    p = {
+        "patch_embed": {
+            "kernel": _conv(_np(sd, "patch_embed.proj.weight")),
+            "bias": _np(sd, "patch_embed.proj.bias"),
+        },
+    }
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": {
+                "scale": _np(sd, f"{pre}.norm1.weight"),
+                "bias": _np(sd, f"{pre}.norm1.bias"),
+            },
+            "qkv": {"kernel": _t(_np(sd, f"{pre}.attn.qkv.weight"))},
+            "q_bias": _np(sd, f"{pre}.attn.q_bias"),
+            "v_bias": _np(sd, f"{pre}.attn.v_bias"),
+            "proj": {
+                "kernel": _t(_np(sd, f"{pre}.attn.proj.weight")),
+                "bias": _np(sd, f"{pre}.attn.proj.bias"),
+            },
+            "norm2": {
+                "scale": _np(sd, f"{pre}.norm2.weight"),
+                "bias": _np(sd, f"{pre}.norm2.bias"),
+            },
+            "fc1": {
+                "kernel": _t(_np(sd, f"{pre}.mlp.fc1.weight")),
+                "bias": _np(sd, f"{pre}.mlp.fc1.bias"),
+            },
+            "fc2": {
+                "kernel": _t(_np(sd, f"{pre}.mlp.fc2.weight")),
+                "bias": _np(sd, f"{pre}.mlp.fc2.bias"),
             },
         }
     return {"params": p}

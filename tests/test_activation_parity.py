@@ -168,6 +168,69 @@ def test_autoencoder_kl_activation_parity():
     )
 
 
+@pytest.mark.slow
+def test_videomae2_activation_parity():
+    """Tiny VideoMAEv2 (the reference's vendored torch vit.py — the same
+    architecture as the OpenGVLab trust_remote_code model) vs our
+    VisionTransformer(variant='videomae2') via port_videomae2."""
+    import importlib.util
+
+    # timm stub: the vendored vit.py imports three helpers from timm
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+        layers.drop_path = lambda x, p=0.0, training=False: x
+        layers.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+        layers.trunc_normal_ = lambda t, std=1.0: torch.nn.init.trunc_normal_(t, std=std)
+        models.layers = layers
+        timm.models = models
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+    spec = importlib.util.spec_from_file_location(
+        "ref_vit", "/root/reference/src/projects/condition/encoders/vit.py"
+    )
+    ref_vit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_vit)
+
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.encoders.vit import VisionTransformer
+    from motionrag_tpu.utils.porting import port_videomae2
+
+    depth, dim, heads = 2, 32, 2
+    tmodel = ref_vit.VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=dim, depth=depth, num_heads=heads,
+        mlp_ratio=4, qkv_bias=True, all_frames=4, tubelet_size=2,
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6),
+        use_mean_pooling=True, init_values=0.0,
+    )
+    _randomize(tmodel, seed=5)
+
+    jmodel = VisionTransformer(
+        variant="videomae2", image_size=32, patch_size=16, num_frames=4,
+        tubelet_size=2, dim=dim, depth=depth, heads=heads, dtype=jnp.float32,
+    )
+    ported = port_videomae2(_sd_numpy(tmodel), depth=depth)
+
+    rng = np.random.default_rng(2)
+    # [b, c, t, h, w] for torch; [b, t, c, h, w] for ours
+    video = rng.standard_normal((1, 4, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        # replicate the reference embedder's manual forward_features
+        # (condition.py:434-450): patch_embed + pos_embed + blocks, no norm
+        x = tmodel.patch_embed(torch.from_numpy(video.transpose(0, 2, 1, 3, 4)))
+        x = x + tmodel.pos_embed.expand(1, -1, -1).type_as(x)
+        for blk in tmodel.blocks:
+            x = blk(x)
+        t_out = x.numpy()
+
+    j_out = np.asarray(jmodel.apply(ported, jnp.asarray(video)))
+    np.testing.assert_allclose(j_out, t_out, rtol=2e-4, atol=2e-4)
+
+
 class _StubLVDM:
     """Minimal stand-in for LatentVisualDiffusion exposing exactly what the
     vendored DDIMSampler reads (schedule buffers + apply_model), with the
