@@ -134,3 +134,143 @@ def test_cli_fit_then_test(workspace):
     assert videos, "no generated videos saved"
     gt = sorted((workspace / "outputs" / "test_gt").glob("*.mp4"))
     assert gt, "no gt videos saved"
+
+
+def _base_config(ws: Path, name: str, video_length: int, model: dict,
+                 video_size=(32, 32)) -> Path:
+    cfg = {
+        "seed_everything": 0,
+        "trainer": {
+            "max_steps": 2,
+            "val_check_interval": 0,
+            "log_every_n_steps": 1,
+            "checkpoint_every_n_steps": 2,
+            "default_root_dir": str(ws / f"runs_{name}"),
+            "limit_test_batches": 1,
+            "mesh_config": {"class_path": "motionrag_tpu.parallel.mesh.MeshConfig",
+                            "init_args": {"dp": 1}},
+            "callbacks": [
+                {"class_path": "motionrag_tpu.training.callbacks.SaveVideo",
+                 "init_args": {"save_dir": str(ws / f"outputs_{name}")}},
+            ],
+        },
+        "model": model,
+        "data": {
+            "class_path": "motionrag_tpu.data.datamodule.VideoDataModule",
+            "init_args": {
+                "video_size": list(video_size),
+                "video_length": video_length,
+                "video_dir": str(ws / "videos"),
+                "train_annotation_path": [str(ws / "train.json")],
+                "test_annotation_path": [str(ws / "train.json")],
+                "train_clip_selector": {"class_path": "motionrag_tpu.data.clip_selector.AllSelector"},
+                "test_clip_selector": {"class_path": "motionrag_tpu.data.clip_selector.AllSelector"},
+                "tokenizer": {"class_path": "motionrag_tpu.data.tokenizers.HashTokenizer",
+                              "init_args": {"vocab_size": 100, "max_length": 12}},
+                "num_workers": 0,
+                "train_batch_size": 1,
+                "test_batch_size": 1,
+                "cache_dir": str(ws / f"cache_{name}"),
+            },
+        },
+    }
+    path = ws / f"config_{name}.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    return path
+
+
+def _run_fit_and_test(ws: Path, name: str, config: Path):
+    from main import cli_main
+
+    model, data, trainer, ckpt = cli_main(["fit", "-c", str(config)], run=False)
+    state = trainer.fit(model, data, ckpt_path=ckpt)
+    assert int(np.asarray(state.step)) == 2
+    trainer._eval_loop(model, state, data, "test", limit=1)
+    videos = sorted((ws / f"outputs_{name}" / "test").glob("*.mp4"))
+    assert videos, "no generated videos saved"
+
+
+@pytest.mark.slow
+def test_cli_fit_then_test_dynamicrafter(workspace):
+    """Tiny DynamiCrafter config through the full CLI fit+test path
+    (reference integration path for configs/dynamicrafter/*, SURVEY §4)."""
+    model = {
+        "class_path": "motionrag_tpu.models.dynamicrafter.module.DynamiCrafterModule",
+        "init_args": {
+            "full_trainable_modules": ["unet.conv_out"],
+            "null_prompt_ids": [1, 1],
+            "eval_pipeline_call_kwargs": {
+                "num_frames": 4, "height": 32, "width": 32, "ddim_steps": 2,
+                "decode_chunk_size": 4,
+            },
+            "unet": {
+                "class_path": "motionrag_tpu.models.dynamicrafter.unet3d.UNet3D",
+                "init_args": {"model_channels": 32, "channel_mult": [1, 2],
+                              "num_res_blocks": 1, "attention_resolutions": [1, 2],
+                              "num_head_channels": 16, "context_dim": 32,
+                              "dtype": "float32"},
+            },
+            "vae": {
+                "class_path": "motionrag_tpu.models.dynamicrafter.vae.AutoencoderKL2D",
+                "init_args": {"block_out_channels": [32, 32, 32, 32], "dtype": "float32"},
+            },
+            "text_encoder": {
+                "class_path": "motionrag_tpu.models.encoders.clip_text.CLIPTextEncoder",
+                "init_args": {"vocab_size": 100, "max_length": 12, "dim": 32,
+                              "depth": 2, "heads": 2, "dtype": "float32"},
+            },
+            "image_encoder": {
+                "class_path": "motionrag_tpu.models.encoders.condition.CLIPImageEmbedder",
+                "init_args": {"image_size": 28, "patch_size": 14, "dim": 32,
+                              "depth": 1, "heads": 2, "pooled": False,
+                              "dtype": "float32"},
+            },
+            "image_proj": {
+                "class_path": "motionrag_tpu.models.resampler.Resampler",
+                "init_args": {"dim": 32, "depth": 1, "dim_head": 8, "heads": 4,
+                              "num_queries": 3, "embedding_dim": 32,
+                              "output_dim": 32, "video_length": 4,
+                              "dtype": "float32"},
+            },
+            "dtype": "float32",
+        },
+    }
+    config = _base_config(workspace, "dc", 4, model)
+    _run_fit_and_test(workspace, "dc", config)
+
+
+@pytest.mark.slow
+def test_cli_fit_then_test_cogvideox(workspace):
+    """Tiny CogVideoX config through the full CLI fit+test path."""
+    model = {
+        "class_path": "motionrag_tpu.models.cogvideox.module.CogVideoX5B",
+        "init_args": {
+            "full_trainable_modules": ["transformer.proj_out"],
+            "eval_pipeline_call_kwargs": {
+                "num_frames": 5, "height": 32, "width": 32,
+                "num_inference_steps": 2, "steps_per_launch": None,
+            },
+            "transformer": {
+                "class_path": "motionrag_tpu.models.cogvideox.dit.CogVideoXTransformer3D",
+                "init_args": {"in_channels": 8, "out_channels": 4, "dim": 64,
+                              "depth": 2, "heads": 4, "head_dim": 16,
+                              "text_embed_dim": 32, "time_embed_dim": 32,
+                              "dtype": "float32"},
+            },
+            "vae": {
+                "class_path": "motionrag_tpu.models.cogvideox.vae3d.CogVideoXVAE",
+                "init_args": {"latent_channels": 4,
+                              "block_out_channels": [32, 32, 32, 32],
+                              "layers_per_block": 1, "dtype": "float32"},
+            },
+            "text_encoder": {
+                "class_path": "motionrag_tpu.models.encoders.t5.T5Encoder",
+                "init_args": {"vocab_size": 100, "dim": 32, "depth": 1,
+                              "heads": 2, "head_dim": 16, "ff_dim": 64,
+                              "dtype": "float32"},
+            },
+            "dtype": "float32",
+        },
+    }
+    config = _base_config(workspace, "cog", 5, model)
+    _run_fit_and_test(workspace, "cog", config)
