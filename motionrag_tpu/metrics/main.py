@@ -108,7 +108,20 @@ def main():
     ap.add_argument("--num_frames", type=int, default=16)
     ap.add_argument("--metrics", nargs="+", default=["fvd", "motion", "action", "dino", "clip_v2v"])
     ap.add_argument("--output", default=None)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                    help="force the JAX platform (like main.py; the env pins "
+                    "the TPU tunnel, which scoring jobs may not want)")
     args = ap.parse_args()
+
+    import os
+
+    platform = args.platform or os.environ.get("MRT_PLATFORM")
+    if platform:
+        import jax
+
+        if platform == "tpu" and os.environ.get("JAX_PLATFORMS", "") == "axon":
+            platform = "axon"
+        jax.config.update("jax_platforms", platform)
     results = calc_metrics(args.gt_path, args.generate_path, args.num_frames, args.metrics)
     print(json.dumps(results))
     if args.output:
