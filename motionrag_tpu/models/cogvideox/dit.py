@@ -31,7 +31,7 @@ from motionrag_tpu.ops.attention import dot_product_attention
 from motionrag_tpu.ops.norms import layer_norm
 from motionrag_tpu.ops.posemb import rope_3d_cache
 
-__all__ = ["CogVideoXTransformer3D", "cogvideox_5b_config"]
+__all__ = ["CogVideoXTransformer3D", "cogvideox_5b_config", "tp_partition_rules"]
 
 
 def cogvideox_5b_config(**overrides):
@@ -50,6 +50,14 @@ def cogvideox_5b_config(**overrides):
     )
     cfg.update(overrides)
     return cfg
+
+
+def tp_partition_rules():
+    """Config-resolvable alias for ``CogVideoXTransformer3D.partition_rules``
+    (``class_path`` specs resolve module-level symbols only): YAML configs
+    pass ``trainer.partition_rules: {class_path: ...dit.tp_partition_rules}``
+    to run the DiT tensor-parallel over the ``tp`` mesh axis."""
+    return CogVideoXTransformer3D.partition_rules()
 
 
 def _apply_rope_bhsd(x: jnp.ndarray, cache: jnp.ndarray) -> jnp.ndarray:

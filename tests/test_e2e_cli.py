@@ -239,10 +239,8 @@ def test_cli_fit_then_test_dynamicrafter(workspace):
     _run_fit_and_test(workspace, "dc", config)
 
 
-@pytest.mark.slow
-def test_cli_fit_then_test_cogvideox(workspace):
-    """Tiny CogVideoX config through the full CLI fit+test path."""
-    model = {
+def _tiny_cog_model() -> dict:
+    return {
         "class_path": "motionrag_tpu.models.cogvideox.module.CogVideoX5B",
         "init_args": {
             "full_trainable_modules": ["transformer.proj_out"],
@@ -272,5 +270,28 @@ def test_cli_fit_then_test_cogvideox(workspace):
             "dtype": "float32",
         },
     }
-    config = _base_config(workspace, "cog", 5, model)
+
+
+@pytest.mark.slow
+def test_cli_fit_then_test_cogvideox(workspace):
+    """Tiny CogVideoX config through the full CLI fit+test path."""
+    config = _base_config(workspace, "cog", 5, _tiny_cog_model())
     _run_fit_and_test(workspace, "cog", config)
+
+
+@pytest.mark.slow
+def test_cli_fit_cogvideox_tensor_parallel(workspace):
+    """The TP execution path runnable purely via config (the
+    MotionRAG_open_tp.yml pattern): dp=1 x tp=2 mesh + the DiT partition
+    rules, full CLI fit+test on the virtual CPU mesh."""
+    config = _base_config(workspace, "cogtp", 5, _tiny_cog_model())
+    cfg = yaml.safe_load(config.read_text())
+    cfg["trainer"]["mesh_config"] = {
+        "class_path": "motionrag_tpu.parallel.mesh.MeshConfig",
+        "init_args": {"dp": 1, "tp": 2},
+    }
+    cfg["trainer"]["partition_rules"] = {
+        "class_path": "motionrag_tpu.models.cogvideox.dit.tp_partition_rules",
+    }
+    config.write_text(yaml.safe_dump(cfg))
+    _run_fit_and_test(workspace, "cogtp", config)

@@ -172,7 +172,10 @@ def main():
 
     # ---- phase C: free the DiT, decode with only the VAE resident --------
     latents_host = jax.device_get(latents)
-    del params, latents
+    # `sample` closes over the 11.1 GB DiT params — deleting the local
+    # binding alone leaves them alive through the closure cell (found the
+    # hard way: the 49f decode OOMed on a KB-sized slice)
+    del params, latents, sample
     gc.collect()
     vae_params = jax.device_put(vae_host)
     lat = jnp.asarray(latents_host)
