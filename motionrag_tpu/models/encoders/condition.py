@@ -27,6 +27,9 @@ __all__ = [
     "VideoMAE2Embedder",
     "DINOImageEmbedder",
     "CLIPImageEmbedder",
+    "SDXLImageEmbedder",
+    "KolorsImageEmbedder",
+    "FrozenCLIPT5Encoder",
     "IdentityEncoder",
     "ClassEmbedder",
     "preprocess_frames",
@@ -120,6 +123,37 @@ class VideoMAE2Embedder(VideoMAEEmbedder):
         )
 
 
+class FrozenCLIPT5Encoder(nn.Module):
+    """Dual text conditioning (reference lvdm ``condition.py:383-398``):
+    CLIP-L final hidden + T5-v1.1-XL hidden, returned as a [clip_z, t5_z]
+    pair. Both tokenizations happen host-side; ids in (CLIP BPE, T5
+    sentencepiece)."""
+
+    clip_kwargs: dict | None = None
+    t5_kwargs: dict | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        from motionrag_tpu.models.encoders.clip_text import CLIPTextEncoder
+        from motionrag_tpu.models.encoders.t5 import T5Encoder
+
+        # reference defaults: openai/clip-vit-large-patch14 (dim 768,
+        # depth 12, quick-gelu, final LN) + google/t5-v1_1-xl (dim 2048)
+        ck = dict(dim=768, depth=12, heads=12, projection_dim=768,
+                  use_quick_gelu=True, dtype=self.dtype)
+        ck.update(self.clip_kwargs or {})
+        tk = dict(dim=2048, depth=24, heads=32, head_dim=64, ff_dim=5120,
+                  dtype=self.dtype)
+        tk.update(self.t5_kwargs or {})
+        self.clip_encoder = CLIPTextEncoder(**ck)
+        self.t5_encoder = T5Encoder(**tk)
+
+    def __call__(self, clip_ids: jnp.ndarray, t5_ids: jnp.ndarray):
+        clip_z = self.clip_encoder(clip_ids, penultimate=False)
+        t5_z = self.t5_encoder(t5_ids)
+        return [clip_z, t5_z]
+
+
 class IdentityEncoder(nn.Module):
     """Pass-through conditioning (reference ``condition.py`` IdentityEncoder)."""
 
@@ -200,7 +234,7 @@ class CLIPImageEmbedder(nn.Module):
             dtype=self.dtype,
         )
 
-    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, image: jnp.ndarray, uncond: bool = False) -> jnp.ndarray:
         if self.resize_mode == "square":
             x = (image.astype(jnp.float32) + 1.0) / 2.0
             x = resize_with_antialiasing(x, (self.image_size, self.image_size))
@@ -209,6 +243,34 @@ class CLIPImageEmbedder(nn.Module):
             image = (x - mean) / std
         else:
             image = preprocess_frames(image, self.image_size, CLIP_MEAN, CLIP_STD)
+        if uncond:
+            # reference get_uncond_emb (condition.py:554-556): all-zero
+            # *pixel_values* (not a normalized black image) through the tower
+            image = jnp.zeros_like(image)
         if self.pooled:
             return self.encoder(image.astype(self.dtype), return_pooled=True)[:, None, :]
         return self.encoder(image.astype(self.dtype), penultimate=True)
+
+
+class SDXLImageEmbedder(CLIPImageEmbedder):
+    """SDXL IP-Adapter image tower (reference ``condition.py:565-580``):
+    the laion OpenCLIP ViT-H/14 from ``h94/IP-Adapter models/image_encoder``,
+    penultimate hidden tokens [b, 257, 1280]. Same tower geometry as the SVD
+    conditioning CLIP but crop preprocessing + token (not pooled) output."""
+
+    pooled: bool = False
+    resize_mode: str = "crop"
+
+
+class KolorsImageEmbedder(CLIPImageEmbedder):
+    """Kolors IP-Adapter-Plus image tower (reference ``condition.py:583-598``):
+    CLIP ViT-L/14@336 (``Kwai-Kolors/Kolors-IP-Adapter-Plus image_encoder``),
+    penultimate hidden tokens [b, 577, 1024]."""
+
+    image_size: int = 336
+    dim: int = 1024
+    depth: int = 24
+    heads: int = 16
+    projection_dim: int = 768
+    pooled: bool = False
+    resize_mode: str = "crop"
