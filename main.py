@@ -75,6 +75,7 @@ def cli_main(argv=None, run: bool = True):
 
         trainer.root_dir.mkdir(parents=True, exist_ok=True)
         (trainer.root_dir / "config.yml").write_text(_yaml.safe_dump(cfg))
+        trainer.logger.log_config(cfg)
     except Exception:  # noqa: BLE001
         pass
     if not run:

@@ -19,6 +19,7 @@ __all__ = [
     "DatasetTimer",
     "GradientMonitor",
     "SaveVideo",
+    "WandbVideoLogger",
     "SaveImage",
     "SaveLastFrame",
     "VideoLogger",
@@ -90,6 +91,34 @@ class SaveVideo:
                     write_video(gt_dir / f"{self._counter:06d}.mp4", gts[j],
                                 fps=self.fps, input_format="TCHW")
                 self._counter += 1
+        return {}
+
+
+class WandbVideoLogger(SaveVideo):
+    """SaveVideo that also ships the written mp4s to the trainer's logger
+    (reference WandbVideoLogger, ``src/utils/training.py:268-300``: rank-0
+    ``logger.log_video`` after validation/test, optional cleanup)."""
+
+    def __init__(self, save_dir: str = "outputs/videos", fps: float = 8.0,
+                 save_gt: bool = False, video_num: int = 40,
+                 remove_after_log: bool = False):
+        super().__init__(save_dir=save_dir, fps=fps, save_gt=save_gt)
+        self.video_num = video_num
+        self.remove_after_log = remove_after_log
+
+    def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts, **kwargs):
+        super().on_eval_epoch_end(trainer, stage, generated, ground_truth,
+                                  prompts, **kwargs)
+        logger = getattr(trainer, "logger", None)
+        if logger is None or not hasattr(logger, "log_video"):
+            return {}
+        videos = sorted((self.save_dir / stage).rglob("*.mp4"))[: self.video_num]
+        key = "val" if stage != "test" else "test"
+        step = getattr(trainer, "_last_step", 0)
+        logger.log_video(key, [str(v) for v in videos], step)
+        if self.remove_after_log:
+            for v in videos:
+                v.unlink(missing_ok=True)
         return {}
 
 

@@ -31,6 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from motionrag_tpu.parallel.mesh import MeshConfig, build_mesh
 from motionrag_tpu.training import checkpoints as ckpt_lib
 from motionrag_tpu.training.ema import ema_init, ema_update
+from motionrag_tpu.training.loggers import JSONLLogger, build_logger
 from motionrag_tpu.training.optim import build_optimizer
 from motionrag_tpu.utils.pipeline import assert_video_output, tensor2vid
 
@@ -44,22 +45,6 @@ class TrainState:
     opt_state: Any
     ema_params: Any
     rng: jax.Array
-
-
-class JSONLLogger:
-    """Minimal structured logger (the reference logs scalars to wandb;
-    SURVEY.md §5.5). One JSON object per log call, plus stdout echo."""
-
-    def __init__(self, log_dir: str | Path):
-        self.path = Path(log_dir) / "metrics.jsonl"
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-
-    def log(self, metrics: dict, step: int) -> None:
-        record = {"step": int(step), **{k: float(v) for k, v in metrics.items()}}
-        with self.path.open("a") as f:
-            f.write(json.dumps(record) + "\n")
-        printable = ", ".join(f"{k}={v:.5g}" for k, v in record.items() if k != "step")
-        print(f"[step {step}] {printable}", flush=True)
 
 
 class Trainer:
@@ -81,6 +66,7 @@ class Trainer:
         num_sanity_val_steps: int = 0,
         param_sharding: str = "replicated",  # or 'fsdp'
         partition_rules: Optional[list] = None,
+        logger: Any = None,
     ):
         self.max_steps = max_steps
         self.mesh_config = mesh_config or MeshConfig()
@@ -98,7 +84,7 @@ class Trainer:
         self.num_sanity_val_steps = num_sanity_val_steps
         self.param_sharding = param_sharding
         self.partition_rules = partition_rules
-        self.logger = JSONLLogger(self.root_dir)
+        self.logger = build_logger(logger, self.root_dir)
         self.mesh = None
 
     # -- setup -------------------------------------------------------------
@@ -319,6 +305,7 @@ class Trainer:
         if not (self.checkpoint_every_n_steps
                 and final_step % self.checkpoint_every_n_steps == 0):
             self.save_checkpoint(state, final_step)  # not already saved above
+        self.logger.finish()
         return state
 
     def validate(self, module, state, datamodule, limit: Optional[int] = None):
@@ -333,6 +320,7 @@ class Trainer:
         return self._eval_loop(module, state, datamodule, "test", self.limit_test_batches)
 
     def _eval_loop(self, module, state, datamodule, stage: str, limit=None):
+        self._last_step = int(jax.device_get(state.step))  # for callbacks
         loader = (
             datamodule.val_dataloader() if stage == "val" else datamodule.test_dataloader()
         )
