@@ -177,9 +177,27 @@ def main():
     # hard way: the 49f decode OOMed on a KB-sized slice)
     del params, latents, sample
     gc.collect()
+    # the sampler executables themselves occupy HBM (49f programs embed
+    # sizable constants), and tunnel-side buffer frees are asynchronous —
+    # drop the jit caches, force-delete any stray device arrays, and give
+    # the deletions time to land before the decode phase allocates
+    jax.clear_caches()
+    for arr in jax.live_arrays():
+        if arr.size * arr.dtype.itemsize > 1 << 20:
+            arr.delete()
+    gc.collect()
+    time.sleep(5)
     vae_params = jax.device_put(vae_host)
     lat = jnp.asarray(latents_host)
-    float(jnp.mean(pipe._decode_latents(vae_params, lat).astype(jnp.float32)))
+    for attempt in range(3):
+        try:
+            float(jnp.mean(pipe._decode_latents(vae_params, lat).astype(jnp.float32)))
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"decode attempt {attempt} failed: {str(e)[:300]}", file=sys.stderr)
+            if attempt == 2:
+                raise
+            time.sleep(60)
     t0 = time.time()
     float(jnp.mean(pipe._decode_latents(
         vae_params, lat * 1.001).astype(jnp.float32)))
