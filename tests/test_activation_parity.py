@@ -25,12 +25,17 @@ def _import_lvdm():
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     if "lightning" not in sys.modules:
+        import importlib.machinery
+
         pl_stub = types.ModuleType("lightning.pytorch")
         pl_stub.LightningModule = torch.nn.Module
         lightning_stub = types.ModuleType("lightning")
         lightning_stub.pytorch = pl_stub
-        sys.modules["lightning"] = lightning_stub
-        sys.modules["lightning.pytorch"] = pl_stub
+        # a real __spec__ keeps later find_spec("lightning") probes working
+        for name, mod in (("lightning", lightning_stub),
+                          ("lightning.pytorch", pl_stub)):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
     import DynamiCrafter.lvdm  # noqa: F401
 
     return sys.modules["DynamiCrafter"]
@@ -175,8 +180,15 @@ def test_videomae2_activation_parity():
     VisionTransformer(variant='videomae2') via port_videomae2."""
     import importlib.util
 
-    # timm stub: the vendored vit.py imports three helpers from timm
+    # timm stub: the vendored vit.py imports three helpers from timm.
+    # Spec-less ModuleType entries in sys.modules break later
+    # importlib.util.find_spec("timm") probes inside transformers
+    # ("timm.__spec__ is None"), so install only for the duration of the
+    # reference-module exec and remove afterwards.
+    injected = []
     if "timm" not in sys.modules:
+        import importlib.machinery
+
         timm = types.ModuleType("timm")
         models = types.ModuleType("timm.models")
         layers = types.ModuleType("timm.models.layers")
@@ -185,14 +197,20 @@ def test_videomae2_activation_parity():
         layers.trunc_normal_ = lambda t, std=1.0: torch.nn.init.trunc_normal_(t, std=std)
         models.layers = layers
         timm.models = models
-        sys.modules["timm"] = timm
-        sys.modules["timm.models"] = models
-        sys.modules["timm.models.layers"] = layers
-    spec = importlib.util.spec_from_file_location(
-        "ref_vit", "/root/reference/src/projects/condition/encoders/vit.py"
-    )
-    ref_vit = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref_vit)
+        for name, mod in (("timm", timm), ("timm.models", models),
+                          ("timm.models.layers", layers)):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+            injected.append(name)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_vit", "/root/reference/src/projects/condition/encoders/vit.py"
+        )
+        ref_vit = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_vit)
+    finally:
+        for name in injected:
+            sys.modules.pop(name, None)
 
     import jax
     import jax.numpy as jnp
