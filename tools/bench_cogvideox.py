@@ -17,10 +17,37 @@ distinct inputs, scalar-checksum completion forcing.
 import argparse
 import gc
 import json
+import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, "/root/repo")
+
+_progress_ts = [time.monotonic()]
+
+
+def _tick(msg: str) -> None:
+    """Print progress AND feed the watchdog."""
+    _progress_ts[0] = time.monotonic()
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _start_watchdog(stale_s: float) -> None:
+    """The tunnel relay can die mid-run, leaving the host blocked forever in
+    a remote call (observed: backend-init and in-sampler hangs). A blocked
+    thread can't time itself out, so a daemon thread hard-exits the process
+    when no phase progress lands for ``stale_s``."""
+
+    def run():
+        while True:
+            time.sleep(30)
+            if time.monotonic() - _progress_ts[0] > stale_s:
+                print(f"WATCHDOG: no progress for {stale_s:.0f}s — tunnel "
+                      "likely dead; aborting", file=sys.stderr, flush=True)
+                os._exit(3)
+
+    threading.Thread(target=run, daemon=True).start()
 
 
 def main():
@@ -33,6 +60,8 @@ def main():
                     help="segmented-sampler launch size; the tunneled runtime "
                     "kills device programs running >~60s")
     args = ap.parse_args()
+
+    _start_watchdog(float(os.environ.get("MRT_WATCHDOG_S", 1500)))
 
     import jax
     import jax.numpy as jnp
@@ -73,7 +102,7 @@ def main():
     t0 = time.time()
     t5_params = bf16_params(lambda: t5.init(jax.random.key(0), ids))
     jax.block_until_ready(t5_params)
-    print(f"T5 params ready in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    _tick(f"T5 params ready in {time.time()-t0:.1f}s")
 
     enc = jax.jit(lambda p, i: t5.apply(p, i))
     # force genuine completion of the warmup (block_until_ready can return
@@ -86,7 +115,7 @@ def main():
     prompt_embeds = jax.device_get(out)
     del t5_params, out, enc
     gc.collect()
-    print(f"T5 encode: {t5_s:.2f}s", file=sys.stderr, flush=True)
+    _tick(f"T5 encode: {t5_s:.2f}s")
 
     # ---- phase B0: VAE image-latent encode (VAE alone on device) --------
     # at 49f the 11.1 GB DiT + 17.8k-token activations need every spare GB;
@@ -119,7 +148,7 @@ def main():
     vae_host = jax.device_get(vae_params)
     del vae_params, il
     gc.collect()
-    print(f"image-latent encode: {img_enc_s:.2f}s", file=sys.stderr, flush=True)
+    _tick(f"image-latent encode: {img_enc_s:.2f}s")
 
     # ---- phase B: DiT sampler (DiT alone on device, sequential CFG) ------
     t0 = time.time()
@@ -131,7 +160,7 @@ def main():
             jnp.zeros((1,), jnp.int32))),
     }
     jax.block_until_ready(params)
-    print(f"DiT params ready in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    _tick(f"DiT params ready in {time.time()-t0:.1f}s")
 
     pe = jnp.asarray(prompt_embeds, dtype)
     if pe.shape[-1] != dit.text_embed_dim:
@@ -159,16 +188,16 @@ def main():
             latents = sample(attempt * 100)
             break
         except Exception as e:  # noqa: BLE001
-            print(f"compile attempt {attempt} failed: {str(e)[:300]}", file=sys.stderr)
+            _tick(f"compile attempt {attempt} failed: {str(e)[:300]}")
             if attempt == 2:
                 raise
             time.sleep(60)  # let a crashed TPU worker restart
-    print(f"first sample (incl compile): {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    _tick(f"first sample (incl compile): {time.time()-t0:.1f}s")
 
     t0 = time.time()
     latents = sample(7)
     sample_s = time.time() - t0
-    print(f"sampler: {sample_s:.1f}s", file=sys.stderr, flush=True)
+    _tick(f"sampler: {sample_s:.1f}s")
 
     # ---- phase C: free the DiT, decode with only the VAE resident --------
     latents_host = jax.device_get(latents)
@@ -194,7 +223,7 @@ def main():
             float(jnp.mean(pipe._decode_latents(vae_params, lat).astype(jnp.float32)))
             break
         except Exception as e:  # noqa: BLE001
-            print(f"decode attempt {attempt} failed: {str(e)[:300]}", file=sys.stderr)
+            _tick(f"decode attempt {attempt} failed: {str(e)[:300]}")
             if attempt == 2:
                 raise
             time.sleep(60)
@@ -202,7 +231,7 @@ def main():
     float(jnp.mean(pipe._decode_latents(
         vae_params, lat * 1.001).astype(jnp.float32)))
     decode_s = time.time() - t0
-    print(f"decode: {decode_s:.1f}s", file=sys.stderr, flush=True)
+    _tick(f"decode: {decode_s:.1f}s")
 
     total = t5_s + img_enc_s + sample_s + decode_s
     print(json.dumps({
