@@ -234,11 +234,15 @@ def main():
     _tick(f"decode: {decode_s:.1f}s")
 
     total = t5_s + img_enc_s + sample_s + decode_s
+    # the only published reference wall-clock is the 17f 480x720 protocol
+    # (59.4 s/video, README.md:47); claiming a ratio at other frame counts
+    # would compare different workloads
+    vs = round(59.4 / total, 3) if (f, h, w, steps) == (17, 480, 720, 50) else None
     print(json.dumps({
         "metric": f"CogVideoX-5B-I2V {f}f {h}x{w} {steps}-step s/video (single v5e, phased T5/decode)",
         "value": round(total, 2),
         "unit": "s/video",
-        "vs_baseline": round(59.4 / total, 3),
+        "vs_baseline": vs,
         "detail": {"t5_s": round(t5_s, 2), "img_enc_s": round(img_enc_s, 2),
                    "sample_s": round(sample_s, 2), "decode_s": round(decode_s, 2)},
     }))
