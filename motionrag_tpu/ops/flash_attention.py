@@ -373,24 +373,115 @@ def _bwd_impl(q, k, v, out, lse, do, scale, causal, block_q, block_k, interpret)
 
 
 # ---------------------------------------------------------------------------
+# SPMD partitioning
+#
+# pallas_call lowers to a Mosaic custom call, which XLA's SPMD partitioner
+# cannot split on its own — under a pjit with sharded operands it would
+# either fail or all-gather the full tensors onto every device, destroying
+# dp/tp scaling. All three entry kernels are embarrassingly parallel over
+# the flattened leading batch*heads dim ([bh, s, d] layout), which is
+# exactly the dim that dp (batch) and tp (heads) shard — so we register a
+# custom_partitioning rule that keeps dim 0 sharded and replicates the
+# rest, and XLA runs the kernel independently on each shard with zero
+# communication. (The same approach maxtext/t5x take via shard_map, done
+# here at the kernel boundary so every call site inherits it.)
+# ---------------------------------------------------------------------------
+
+
+def _dim0_sharding(mesh, sharding, ndim):
+    """Operand/result sharding with only the leading (batch*heads) dim kept."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = None
+    if sharding is not None and getattr(sharding, "spec", None) is not None:
+        spec = tuple(sharding.spec)
+        if spec:
+            axis = spec[0]
+    return NamedSharding(mesh, PartitionSpec(axis, *([None] * (ndim - 1))))
+
+
+def _wrap_dim0(fn, n_results, rule):
+    """custom_partitioning wrapper: all array args and results share a
+    leading batch dim; partition along it only. ``rule`` is the einsum-style
+    Shardy sharding rule ("b ...", b = the partitionable factor); every
+    non-b factor is forced replicated so a seq-sharded user annotation
+    re-shards outside the kernel instead of splitting it incorrectly."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    cp = custom_partitioning(fn)
+
+    def _result_shardings(mesh, arg_infos, result_infos):
+        base = next((a.sharding for a in arg_infos if a.sharding is not None), None)
+        infos = result_infos if isinstance(result_infos, (tuple, list)) else [result_infos]
+        shardings = tuple(
+            _dim0_sharding(mesh, base, len(r.shape)) for r in infos
+        )
+        return shardings if n_results > 1 else shardings[0]
+
+    def infer(mesh, arg_infos, result_infos):
+        return _result_shardings(mesh, arg_infos, result_infos)
+
+    def partition(mesh, arg_infos, result_infos):
+        arg_shardings = tuple(
+            _dim0_sharding(mesh, a.sharding, len(a.shape)) for a in arg_infos
+        )
+        return mesh, fn, _result_shardings(mesh, arg_infos, result_infos), arg_shardings
+
+    # non-batch factors, ordered by first appearance (Shardy requires
+    # special-factor indices sorted)
+    factors, seen = [], set()
+    for f in rule.replace(",", " ").replace("->", " ").split():
+        if f != "b" and f not in seen:
+            seen.add(f)
+            factors.append(f)
+    cp.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule,
+                     need_replication_factors=tuple(factors))
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse):
+    if with_lse:
+        def fn(q, k, v):
+            return tuple(_fwd(q, k, v, scale, causal, block_q, block_k, interpret))
+        return _wrap_dim0(fn, n_results=2,
+                          rule="b s d, b t d, b t d -> b s d, b s")
+
+    def fn(q, k, v):
+        return _fwd(q, k, v, scale, causal, block_q, block_k, interpret,
+                    with_lse=False)[0]
+    return _wrap_dim0(fn, n_results=1, rule="b s d, b t d, b t d -> b s d")
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_bwd(scale, causal, block_q, block_k, interpret):
+    def fn(q, k, v, out, lse, do):
+        return tuple(_bwd_impl(q, k, v, out, lse, do, scale, causal,
+                               block_q, block_k, interpret))
+    return _wrap_dim0(
+        fn, n_results=3,
+        rule="b s d, b t d, b t d, b s d, b s, b s d -> b s d, b t d, b t d")
+
+
+# ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash(q, k, v, scale, causal, block_q, block_k, interpret):
-    out, _ = _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=False)
-    return out
+    return _spmd_fwd(scale, causal, block_q, block_k, interpret, False)(q, k, v)
 
 
 def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
-    out, lse = _fwd(q, k, v, scale, causal, block_q, block_k, interpret)
+    out, lse = _spmd_fwd(scale, causal, block_q, block_k, interpret, True)(q, k, v)
     return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, causal, block_q, block_k, interpret, res, do):
     q, k, v, out, lse = res
-    return _bwd_impl(q, k, v, out, lse, do, scale, causal, block_q, block_k, interpret)
+    return _spmd_bwd(scale, causal, block_q, block_k, interpret)(q, k, v, out, lse, do)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

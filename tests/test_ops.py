@@ -211,3 +211,66 @@ def test_small_seq_attention_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+def test_flash_spmd_partitioning_batch_heads(rng):
+    """The flash kernel carries a custom_partitioning rule: under a pjit
+    with operands sharded over batch*heads, each device runs the kernel on
+    its own shard with ZERO collectives (dp shards batch, tp shards heads —
+    both land on dim 0 of the flattened [bh, s, d] kernel layout). Without
+    the rule XLA would have to all-gather the full tensors per device."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.array(devs[:4]).reshape(2, 2), ("dp", "tp"))
+
+    b, h, s, d = 2, 4, 256, 32
+    q = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    shard = NamedSharding(mesh, P("dp", "tp"))
+    qs, ks, vs = (jax.device_put(jnp.asarray(x), shard) for x in (q, k, v))
+
+    f = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, block_q=128, block_k=128, interpret=True))
+    out = f(qs, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(out), _ref_attn(q, k, v), atol=2e-5, rtol=2e-5)
+    # output stays sharded like the inputs (no implicit replication)
+    assert out.sharding.spec[:2] == ("dp", "tp")
+    # and the program contains no cross-device communication at all
+    txt = f.lower(qs, ks, vs).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in txt, f"unexpected {coll} in partitioned flash"
+
+
+def test_flash_spmd_grad_partitioned(rng):
+    """Backward kernels partition the same way (training under dp/tp)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(devs[:2]), ("dp",))
+
+    b, h, s, d = 2, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+    shard = NamedSharding(mesh, P("dp"))
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    gs = g(qs, ks, vs)
+    gr = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+    txt = g.lower(qs, ks, vs).compile().as_text()
+    assert "all-gather" not in txt
