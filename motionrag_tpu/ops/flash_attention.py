@@ -418,12 +418,17 @@ def _wrap_dim0(fn, n_results, rule):
         )
         return shardings if n_results > 1 else shardings[0]
 
+    # which operands actually carry the batch factor on dim 0 (e.g. the
+    # fused-GroupNorm scale/bias are [c] and must replicate entirely)
+    batched = ["b" == t.split()[0] for t in rule.split("->")[0].split(",")]
+
     def infer(mesh, arg_infos, result_infos):
         return _result_shardings(mesh, arg_infos, result_infos)
 
     def partition(mesh, arg_infos, result_infos):
         arg_shardings = tuple(
-            _dim0_sharding(mesh, a.sharding, len(a.shape)) for a in arg_infos
+            _dim0_sharding(mesh, a.sharding if is_b else None, len(a.shape))
+            for a, is_b in zip(arg_infos, batched)
         )
         return mesh, fn, _result_shardings(mesh, arg_infos, result_infos), arg_shardings
 

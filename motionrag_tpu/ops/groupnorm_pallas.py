@@ -76,22 +76,7 @@ def _norm_kernel(x_ref, sums_ref, scale_ref, bias_ref, o_ref,
 @functools.partial(
     jax.jit, static_argnames=("groups", "eps", "act", "block_s", "interpret")
 )
-def group_norm_fused(
-    x: jnp.ndarray,
-    scale: jnp.ndarray,
-    bias: jnp.ndarray,
-    *,
-    groups: int = 32,
-    eps: float = 1e-5,
-    act: str | None = None,
-    block_s: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """x: [b, s, c] -> normalized [b, s, c] (stats over s x group channels).
-
-    Zero-padded rows contribute 0 to both sums; n_per_group uses the true s,
-    so padding does not bias the statistics.
-    """
+def _group_norm_fused_impl(x, scale, bias, groups, eps, act, block_s, interpret):
     b, s, c = x.shape
     assert c % groups == 0
     pad = (-s) % block_s
@@ -127,3 +112,34 @@ def group_norm_fused(
         interpret=interpret,
     )(xp, sums, scale2, bias2)
     return out[:, :s] if pad else out
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_group_norm(groups, eps, act, block_s, interpret):
+    from motionrag_tpu.ops.flash_attention import _wrap_dim0
+
+    def fn(x, scale, bias):
+        return _group_norm_fused_impl(x, scale, bias, groups, eps, act,
+                                      block_s, interpret)
+    return _wrap_dim0(fn, n_results=1, rule="b s c, c, c -> b s c")
+
+
+def group_norm_fused(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: [b, s, c] -> normalized [b, s, c] (stats over s x group channels).
+
+    Zero-padded rows contribute 0 to both sums; n_per_group uses the true s,
+    so padding does not bias the statistics. Batch-partitionable under SPMD
+    (same custom_partitioning scheme as the flash kernels); scale/bias
+    replicate.
+    """
+    return _spmd_group_norm(groups, eps, act, block_s, interpret)(x, scale, bias)

@@ -21,3 +21,35 @@ def test_group_norm_fused_matches_xla(rng, act, s, block_s):
     )
     ref = group_norm(x, groups, scale, bias, act=act)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_group_norm_fused_spmd_batch_partitioned(rng):
+    """Fused GroupNorm partitions over batch under SPMD (same
+    custom_partitioning scheme as the flash kernels); scale/bias replicate;
+    no collectives in the compiled module."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(devs[:2]), ("dp",))
+
+    b, s, c = 4, 96, 32
+    x = jnp.asarray(rng.standard_normal((b, s, c), dtype=np.float32))
+    scale = jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    f = jax.jit(lambda x, sc, bi: group_norm_fused(
+        x, sc, bi, groups=8, block_s=32, interpret=True))
+    out = f(xs, scale, bias)
+    ref = group_norm_fused(x, scale, bias, groups=8, block_s=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    assert out.sharding.spec[0] == "dp"
+    txt = f.lower(xs, scale, bias).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute"):
+        assert coll not in txt
