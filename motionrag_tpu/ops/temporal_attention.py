@@ -108,29 +108,40 @@ def small_seq_attention(
 
     qf, kf, vf = fold(q, t_q), fold(k, t_kv), fold(v, t_kv)
 
-    rows = n * h
-    block_n = min(block_n, rows)
-    pad = (-rows) % block_n
-    if pad:
-        qf = jnp.concatenate([qf, jnp.zeros((pad,) + qf.shape[1:], qf.dtype)], 0)
-        kf = jnp.concatenate([kf, jnp.zeros((pad,) + kf.shape[1:], kf.dtype)], 0)
-        vf = jnp.concatenate([vf, jnp.zeros((pad,) + vf.shape[1:], vf.dtype)], 0)
+    out = _spmd_small_seq(float(scale), t_kv, block_n, interpret)(qf, kf, vf)
+    return out.reshape(n, h, t_q, d).transpose(0, 2, 1, 3)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=float(scale), t_kv=t_kv),
-        grid=(qf.shape[0] // block_n,),
-        in_specs=[
-            pl.BlockSpec((block_n, t_q, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((block_n, t_kv, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((block_n, t_kv, d), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_n, t_q, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        interpret=interpret,
-    )(qf, kf, vf)
 
-    out = out[:rows].reshape(n, h, t_q, d).transpose(0, 2, 1, 3)
-    return out
+@functools.lru_cache(maxsize=None)
+def _spmd_small_seq(scale, t_kv, block_n, interpret):
+    """Batch-partitionable pallas_call (rows = n*heads on dim 0; same SPMD
+    scheme as flash_attention). Row padding happens inside the per-shard
+    function so each device pads its own shard to a block multiple."""
+    from motionrag_tpu.ops.flash_attention import _wrap_dim0
+
+    def fn(qf, kf, vf):
+        rows, t_q, d = qf.shape
+        bn = min(block_n, rows)
+        pad = (-rows) % bn
+        if pad:
+            qf = jnp.concatenate([qf, jnp.zeros((pad,) + qf.shape[1:], qf.dtype)], 0)
+            kf = jnp.concatenate([kf, jnp.zeros((pad,) + kf.shape[1:], kf.dtype)], 0)
+            vf = jnp.concatenate([vf, jnp.zeros((pad,) + vf.shape[1:], vf.dtype)], 0)
+        out = pl.pallas_call(
+            functools.partial(_kernel, scale=scale, t_kv=t_kv),
+            grid=(qf.shape[0] // bn,),
+            in_specs=[
+                pl.BlockSpec((bn, t_q, d), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bn, t_kv, d), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bn, t_kv, d), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((bn, t_q, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out[:rows]
+
+    return _wrap_dim0(fn, n_results=1, rule="b s d, b t d, b t d -> b s d")
