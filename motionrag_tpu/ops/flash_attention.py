@@ -388,55 +388,61 @@ def _bwd_impl(q, k, v, out, lse, do, scale, causal, block_q, block_k, interpret)
 # ---------------------------------------------------------------------------
 
 
-def _dim0_sharding(mesh, sharding, ndim):
-    """Operand/result sharding with only the leading (batch*heads) dim kept."""
-    from jax.sharding import NamedSharding, PartitionSpec
+def _wrap_dim0(fn, n_results, rule, parallel=("b",)):
+    """custom_partitioning wrapper driven by an einsum-style Shardy rule.
 
-    axis = None
-    if sharding is not None and getattr(sharding, "spec", None) is not None:
-        spec = tuple(sharding.spec)
-        if spec:
-            axis = spec[0]
-    return NamedSharding(mesh, PartitionSpec(axis, *([None] * (ndim - 1))))
-
-
-def _wrap_dim0(fn, n_results, rule):
-    """custom_partitioning wrapper: all array args and results share a
-    leading batch dim; partition along it only. ``rule`` is the einsum-style
-    Shardy sharding rule ("b ...", b = the partitionable factor); every
-    non-b factor is forced replicated so a seq-sharded user annotation
-    re-shards outside the kernel instead of splitting it incorrectly."""
+    ``parallel`` names the factors the kernel is embarrassingly parallel
+    over (per-shard invocations need no communication); every other factor
+    is forced replicated, so a user annotation along it re-shards OUTSIDE
+    the kernel instead of splitting it incorrectly. "b" (flattened
+    batch*heads) is always parallel; the non-causal flash forward also
+    declares the q-sequence factor — under an sp-sharded pipeline XLA then
+    all-gathers only K/V and each device computes its own q rows (textbook
+    all-gather-KV sequence parallelism, no kernel changes)."""
     from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
 
     cp = custom_partitioning(fn)
 
-    def _result_shardings(mesh, arg_infos, result_infos):
-        base = next((a.sharding for a in arg_infos if a.sharding is not None), None)
-        infos = result_infos if isinstance(result_infos, (tuple, list)) else [result_infos]
-        shardings = tuple(
-            _dim0_sharding(mesh, base, len(r.shape)) for r in infos
-        )
-        return shardings if n_results > 1 else shardings[0]
+    lhs, rhs = rule.split("->")
+    op_factors = [t.split() for t in lhs.split(",")]
+    res_factors = [t.split() for t in rhs.split(",")]
 
-    # which operands actually carry the batch factor on dim 0 (e.g. the
-    # fused-GroupNorm scale/bias are [c] and must replicate entirely)
-    batched = ["b" == t.split()[0] for t in rule.split("->")[0].split(",")]
+    def _axis_map(arg_infos):
+        """factor -> mesh axis, from however the operands arrived sharded
+        (only parallel factors ever map)."""
+        m = {}
+        for info, factors in zip(arg_infos, op_factors):
+            sharding = info.sharding
+            if sharding is None or getattr(sharding, "spec", None) is None:
+                continue
+            spec = tuple(sharding.spec) + (None,) * (len(factors) - len(sharding.spec))
+            for f, ax in zip(factors, spec):
+                if f in parallel and ax is not None and f not in m:
+                    m[f] = ax
+        return m
+
+    def _sharding(mesh, factors, amap):
+        return NamedSharding(mesh, PartitionSpec(*[amap.get(f) for f in factors]))
 
     def infer(mesh, arg_infos, result_infos):
-        return _result_shardings(mesh, arg_infos, result_infos)
+        amap = _axis_map(arg_infos)
+        shardings = tuple(_sharding(mesh, f, amap) for f in res_factors)
+        return shardings if n_results > 1 else shardings[0]
 
     def partition(mesh, arg_infos, result_infos):
-        arg_shardings = tuple(
-            _dim0_sharding(mesh, a.sharding if is_b else None, len(a.shape))
-            for a, is_b in zip(arg_infos, batched)
-        )
-        return mesh, fn, _result_shardings(mesh, arg_infos, result_infos), arg_shardings
+        amap = _axis_map(arg_infos)
+        arg_shardings = tuple(_sharding(mesh, f, amap) for f in op_factors)
+        res_shardings = tuple(_sharding(mesh, f, amap) for f in res_factors)
+        return (mesh, fn,
+                res_shardings if n_results > 1 else res_shardings[0],
+                arg_shardings)
 
-    # non-batch factors, ordered by first appearance (Shardy requires
+    # replicated factors, ordered by first appearance (Shardy requires
     # special-factor indices sorted)
     factors, seen = [], set()
     for f in rule.replace(",", " ").replace("->", " ").split():
-        if f != "b" and f not in seen:
+        if f not in parallel and f not in seen:
             seen.add(f)
             factors.append(f)
     cp.def_partition(partition=partition, infer_sharding_from_operands=infer,
@@ -447,16 +453,22 @@ def _wrap_dim0(fn, n_results, rule):
 
 @functools.lru_cache(maxsize=None)
 def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse):
+    # the forward grid is also embarrassingly parallel over q rows — but
+    # only when non-causal (the causal mask depends on absolute q position,
+    # which a seq shard would compute relative to itself)
+    parallel = ("b",) if causal else ("b", "s")
     if with_lse:
         def fn(q, k, v):
             return tuple(_fwd(q, k, v, scale, causal, block_q, block_k, interpret))
         return _wrap_dim0(fn, n_results=2,
-                          rule="b s d, b t d, b t d -> b s d, b s")
+                          rule="b s d, b t d, b t d -> b s d, b s",
+                          parallel=parallel)
 
     def fn(q, k, v):
         return _fwd(q, k, v, scale, causal, block_q, block_k, interpret,
                     with_lse=False)[0]
-    return _wrap_dim0(fn, n_results=1, rule="b s d, b t d, b t d -> b s d")
+    return _wrap_dim0(fn, n_results=1, rule="b s d, b t d, b t d -> b s d",
+                      parallel=parallel)
 
 
 @functools.lru_cache(maxsize=None)

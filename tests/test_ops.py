@@ -274,3 +274,38 @@ def test_flash_spmd_grad_partitioned(rng):
                                    atol=1e-4, rtol=1e-4)
     txt = g.lower(qs, ks, vs).compile().as_text()
     assert "all-gather" not in txt
+
+
+def test_flash_spmd_seq_parallel_q(rng):
+    """Non-causal flash forward also declares the q-seq factor parallel:
+    sharding the token axis runs each device's q rows locally and gathers
+    only K/V (all-gather-KV sequence parallelism), with the output staying
+    seq-sharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(devs[:2]), ("sp",))
+
+    b, h, s, d = 1, 2, 256, 32
+    q = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    shard = NamedSharding(mesh, P(None, None, "sp", None))
+    qs, ks, vs = (jax.device_put(jnp.asarray(x), shard) for x in (q, k, v))
+
+    f = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, block_q=128, block_k=128, interpret=True))
+    out = f(qs, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(out), _ref_attn(q, k, v), atol=2e-5, rtol=2e-5)
+    assert out.sharding.spec[2] == "sp", f"output lost seq sharding: {out.sharding.spec}"
+    txt = f.lower(qs, ks, vs).compile().as_text()
+    assert "all-gather" in txt  # K/V gather is expected...
+    # ...but causal stays batch-only (mask depends on absolute q position)
+    fc = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, causal=True, block_q=128, block_k=128, interpret=True))
+    outc = fc(qs, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(outc), _ref_attn(q, k, v, causal=True), atol=2e-5, rtol=2e-5)
