@@ -81,6 +81,7 @@ class CogVideoXBlock(nn.Module):
     adapter_scale: float = 1.0
     adapter_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, hidden, encoder_hidden, temb, rope_cache=None, action_emb=None):
@@ -99,6 +100,10 @@ class CogVideoXBlock(nn.Module):
         h_n = layer_norm(hidden) * (1 + scale) + shift
         e_n = layer_norm(encoder_hidden) * (1 + e_scale) + e_shift
         joint = jnp.concatenate([e_n, h_n], axis=1)
+        if self.sequence_parallel:
+            from motionrag_tpu.parallel.sharding import maybe_shard_seq
+
+            joint = maybe_shard_seq(joint)
         s = st + sv
 
         q = nn.Dense(inner, dtype=self.dtype, name="to_q")(joint)
@@ -143,6 +148,10 @@ class CogVideoXBlock(nn.Module):
         h_n = layer_norm(hidden) * (1 + scale) + shift
         e_n = layer_norm(encoder_hidden) * (1 + e_scale) + e_shift
         joint = jnp.concatenate([e_n, h_n], axis=1)
+        if self.sequence_parallel:
+            from motionrag_tpu.parallel.sharding import maybe_shard_seq
+
+            joint = maybe_shard_seq(joint)
         ff = nn.Dense(self.dim * self.ff_mult, dtype=self.dtype, name="ff_in")(joint)
         ff = nn.gelu(ff, approximate=True)
         ff = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(ff)
@@ -170,6 +179,10 @@ class CogVideoXTransformer3D(nn.Module):
     adapter_scale: float = 1.0
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    # shard the token axis over the mesh's 'sp' axis (no-op without one);
+    # with the flash q-seq partitioning rule this yields all-gather-KV
+    # sequence parallelism through every block
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(
@@ -188,6 +201,10 @@ class CogVideoXTransformer3D(nn.Module):
         x = hidden_states.reshape(b, f, ph, p, pw, p, -1)
         x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, sv, p * p * hidden_states.shape[-1])
         x = nn.Dense(self.dim, dtype=self.dtype, name="patch_embed_proj")(x)
+        if self.sequence_parallel:
+            from motionrag_tpu.parallel.sharding import maybe_shard_seq
+
+            x = maybe_shard_seq(x)
         text = nn.Dense(self.dim, dtype=self.dtype, name="patch_embed_text_proj")(
             encoder_hidden_states
         )
@@ -218,6 +235,7 @@ class CogVideoXTransformer3D(nn.Module):
                 with_adapter=i in adapter_set,
                 adapter_scale=self.adapter_scale,
                 dtype=self.dtype,
+                sequence_parallel=self.sequence_parallel,
                 name=f"transformer_blocks_{i}",
             )(hidden, enc, temb, rope, action_emb)
 

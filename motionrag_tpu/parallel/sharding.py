@@ -16,7 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from motionrag_tpu.training.optim import path_tokens
 
-__all__ = ["apply_partition_rules", "shard_params"]
+__all__ = ["apply_partition_rules", "shard_params", "ambient_mesh", "maybe_shard_seq"]
 
 
 def _spec_fits(spec: P, shape, mesh: Mesh) -> bool:
@@ -50,3 +50,30 @@ def apply_partition_rules(params, rules: Sequence[tuple[str, P]], mesh: Mesh):
 def shard_params(params, rules, mesh: Mesh):
     shardings = apply_partition_rules(params, rules, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def ambient_mesh():
+    """The mesh of the enclosing ``with mesh:`` context, or None outside
+    one. (jax 0.9: the legacy context sets thread_resources, not the
+    abstract mesh, so introspect that — guarded for API drift.)"""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def maybe_shard_seq(x, axis: str = "sp", dim: int = 1):
+    """Constrain ``x``'s dim ``dim`` to the ``axis`` mesh axis when the
+    ambient mesh has one of size > 1; no-op otherwise (single chip, tests,
+    or meshes without sequence parallelism). Used by the DiT to opt its
+    token axis into sp sharding (flash attention's q-seq partitioning rule
+    then turns attention into all-gather-KV sequence parallelism)."""
+    m = ambient_mesh()
+    if m is None or axis not in m.axis_names or m.shape[axis] == 1:
+        return x
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(x, P(*spec))

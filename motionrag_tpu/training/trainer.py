@@ -275,7 +275,11 @@ class Trainer:
                 k: v for k, v in sharded.items()
                 if isinstance(v, (jnp.ndarray, np.ndarray))
             }
-            state, metrics = train_step(state, jit_batch)
+            # mesh context: PartitionSpec-based constraints inside modules
+            # (e.g. the DiT's sequence_parallel token sharding) resolve
+            # against it; explicit NamedShardings are unaffected
+            with self.mesh:
+                state, metrics = train_step(state, jit_batch)
             step = int(jax.device_get(state.step))
 
             if step % self.log_every_n_steps == 0:
@@ -351,7 +355,8 @@ class Trainer:
             if limit is not None and i >= limit:
                 break
             rng, step_rng = jax.random.split(rng)
-            frames = module.eval_pipeline(eval_params, batch, step_rng)
+            with self.mesh:
+                frames = module.eval_pipeline(eval_params, batch, step_rng)
             videos = tensor2vid(frames)  # uint8 [b f c h w] host
             assert_video_output(videos)
             generated.append(videos)

@@ -77,3 +77,40 @@ def test_collectives_helpers(mesh8):
     )(x)
     # psum_mean of the two dp shards = elementwise mean
     np.testing.assert_allclose(np.asarray(mean)[:2], np.asarray((x[:2] + x[2:]) / 2))
+
+
+def test_dit_sequence_parallel_equivalence(rng):
+    """sequence_parallel=True constrains the DiT token axis over the sp
+    mesh axis; the result must equal the unsharded forward (the constraint
+    is a layout hint, not a math change), and it is a no-op without a mesh."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(devs[:2]), ("sp",))
+
+    kw = dict(in_channels=8, out_channels=4, dim=32, depth=2, heads=2,
+              head_dim=16, text_embed_dim=16, time_embed_dim=32,
+              dtype=jnp.float32)
+    dit_sp = CogVideoXTransformer3D(sequence_parallel=True, **kw)
+    dit = CogVideoXTransformer3D(**kw)
+
+    x = jnp.asarray(rng.standard_normal((1, 2, 8, 8, 8)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((1, 6, 16)), jnp.float32)
+    t = jnp.asarray([3], jnp.int32)
+    params = dit.init(jax.random.key(0), x, text, t)
+
+    ref = dit.apply(params, x, text, t)
+    # same params work in the sp module (fields don't change the tree)
+    with mesh:
+        out = jax.jit(lambda p, x, c, t: dit_sp.apply(p, x, c, t))(params, x, text, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    # outside any mesh the constraint is skipped entirely
+    out2 = dit_sp.apply(params, x, text, t)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=0, rtol=0)

@@ -295,3 +295,20 @@ def test_cli_fit_cogvideox_tensor_parallel(workspace):
     }
     config.write_text(yaml.safe_dump(cfg))
     _run_fit_and_test(workspace, "cogtp", config)
+
+
+@pytest.mark.slow
+def test_cli_fit_cogvideox_sequence_parallel(workspace):
+    """Sequence-parallel execution runnable purely via config: dp=1 x sp=2
+    mesh + DiT sequence_parallel=true (token-axis sharding constraints;
+    the flash q-seq rule makes this all-gather-KV seq parallelism on TPU).
+    Full CLI fit+test on the virtual CPU mesh."""
+    config = _base_config(workspace, "cogsp", 5, _tiny_cog_model())
+    cfg = yaml.safe_load(config.read_text())
+    cfg["trainer"]["mesh_config"] = {
+        "class_path": "motionrag_tpu.parallel.mesh.MeshConfig",
+        "init_args": {"dp": 1, "sp": 2},
+    }
+    cfg["model"]["init_args"]["transformer"]["init_args"]["sequence_parallel"] = True
+    config.write_text(yaml.safe_dump(cfg))
+    _run_fit_and_test(workspace, "cogsp", config)
