@@ -36,7 +36,8 @@ __all__ = [
 
 class CogVideoXImageToVideoPipeline:
     def __init__(self, transformer, vae, text_encoder, scheduler: str = "ddim",
-                 cfg_mode: str = "batched", null_prompt_ids=None, dtype=jnp.bfloat16):
+                 cfg_mode: str = "batched", null_prompt_ids=None, dtype=jnp.bfloat16,
+                 cache_threshold: float = 0.0):
         self.transformer = transformer
         self.vae = vae
         self.text_encoder = text_encoder
@@ -54,6 +55,9 @@ class CogVideoXImageToVideoPipeline:
         self.cfg_mode = cfg_mode
         self.schedule = CogVideoXSchedule()
         self.dtype = dtype
+        # opt-in adaptive output caching (scheduler.ddim_sample_loop
+        # docstring); 0.0 = exact reference protocol
+        self.cache_threshold = float(cache_threshold)
 
     # -- conditioning ------------------------------------------------------
 
@@ -149,6 +153,9 @@ class CogVideoXImageToVideoPipeline:
                 self.schedule, denoise_fn, noise, num_inference_steps,
                 guidance_scale=guidance_scale, use_dynamic_cfg=use_dynamic_cfg,
                 step_range=step_range,
+                cache_threshold=self.cache_threshold,
+                cache_carry=dpm_carry if self.cache_threshold > 0 else None,
+                return_cache=self.cache_threshold > 0 and step_range is not None,
             )
         return dpm_sample_loop(
             self.schedule, denoise_fn, noise, num_inference_steps,
@@ -175,7 +182,7 @@ class CogVideoXImageToVideoPipeline:
                 use_dynamic_cfg, scheduler, (lo, hi),
                 dpm_carry=carry,
             )
-            if scheduler == "ddim":
+            if scheduler == "ddim" and self.cache_threshold <= 0:
                 x = out
             else:
                 x, carry = out

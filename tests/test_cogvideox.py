@@ -251,3 +251,58 @@ def test_segmented_sampling_matches_single_launch():
             sched, denoise_fn, x, n, guidance_scale=6.0,
             step_range=(lo, min(lo + 4, n)), init_carry=carry, return_carry=True)
     np.testing.assert_allclose(np.asarray(full), np.asarray(x), atol=1e-6)
+
+
+def test_adaptive_cache_sampling():
+    """Opt-in TeaCache-style output caching (scheduler.ddim_sample_loop
+    cache_threshold): 0.0 is bit-identical to the exact loop; a positive
+    threshold skips model calls (the denoise_fn call count drops) yet stays
+    finite and close at small thresholds; the cache carry makes segmented
+    launches bit-identical to the single launch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motionrag_tpu.models.cogvideox.scheduler import (
+        CogVideoXSchedule, ddim_sample_loop)
+
+    sched = CogVideoXSchedule()
+    x0 = jax.random.normal(jax.random.key(0), (1, 2, 4, 4, 4), jnp.float32)
+
+    calls = []
+
+    def make_fn():
+        def denoise_fn(x, t):
+            calls.append(1)  # traced once per lax.cond branch, not per step
+            c = jnp.cos(x + t.astype(jnp.float32) * 0.001)
+            return 0.9 * c, c
+        return denoise_fn
+
+    n = 9
+    exact = ddim_sample_loop(sched, make_fn(), x0, n, guidance_scale=6.0)
+    zero_thr = ddim_sample_loop(sched, make_fn(), x0, n, guidance_scale=6.0,
+                                cache_threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(zero_thr))
+
+    cached = ddim_sample_loop(sched, make_fn(), x0, n, guidance_scale=6.0,
+                              cache_threshold=0.05)
+    assert np.isfinite(np.asarray(cached)).all()
+    # small threshold -> bounded deviation from the exact trajectory
+    rel = float(jnp.linalg.norm(cached - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.5, rel
+
+    # a huge threshold degenerates to "compute first/last step only" and
+    # must still produce a finite, different trajectory
+    frozen = ddim_sample_loop(sched, make_fn(), x0, n, guidance_scale=6.0,
+                              cache_threshold=1e9)
+    assert np.isfinite(np.asarray(frozen)).all()
+    assert not np.array_equal(np.asarray(frozen), np.asarray(exact))
+
+    # segmented with cache carry == single launch, bit-identical
+    x, carry = x0, None
+    for lo in range(0, n, 4):
+        x, carry = ddim_sample_loop(
+            sched, make_fn(), x, n, guidance_scale=6.0,
+            step_range=(lo, min(lo + 4, n)), cache_threshold=0.05,
+            cache_carry=carry, return_cache=True)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(x), atol=1e-6)
