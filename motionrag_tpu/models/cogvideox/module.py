@@ -41,6 +41,8 @@ class CogVideoX5B:
         gradient_checkpointing: bool = False,
         ckpt_path: str | None = None,
         dtype=jnp.bfloat16,
+        cfg_mode: str = "sequential",
+        cache_threshold: float = 0.0,
     ):
         self.transformer = transformer or CogVideoXTransformer3D(
             remat=gradient_checkpointing, dtype=dtype
@@ -55,12 +57,18 @@ class CogVideoX5B:
         self.lora_rank = lora_rank
         self.ckpt_path = ckpt_path
         self.dtype = dtype
+        # 'sequential' CFG halves the activation peak (the single-v5e
+        # measured configuration); 'batched' is the reference 2x-batch mode.
+        self.cfg_mode = cfg_mode
+        self.cache_threshold = float(cache_threshold)
         self.schedule = CogVideoXSchedule()
         self.pipe = self.build_pipeline()
 
     def build_pipeline(self):
         return CogVideoXImageToVideoPipeline(
-            self.transformer, self.vae, self.text_encoder, self.scheduler_name, self.dtype
+            self.transformer, self.vae, self.text_encoder,
+            scheduler=self.scheduler_name, cfg_mode=self.cfg_mode,
+            dtype=self.dtype, cache_threshold=self.cache_threshold,
         )
 
     # -- init --------------------------------------------------------------
@@ -201,7 +209,8 @@ class CogVideoX5BAction(CogVideoX5B):
         return CogVideoXImageToVideoActionPipeline(
             self.transformer, self.vae, self.text_encoder,
             self.action_embedder, self.action_proj_model, self.ref_fusion_type,
-            self.scheduler_name, self.dtype,
+            scheduler=self.scheduler_name, cfg_mode=self.cfg_mode,
+            dtype=self.dtype, cache_threshold=self.cache_threshold,
         )
 
     def template_action_emb(self, b):
@@ -244,7 +253,8 @@ class CogVideoX5BActionTransformer(CogVideoX5BAction):
     def build_pipeline(self):
         return CogVideoXImageToVideoCTPipeline(
             self.transformer, self.vae, self.text_encoder, self.condition_transformer,
-            self.scheduler_name, self.dtype,
+            scheduler=self.scheduler_name, cfg_mode=self.cfg_mode,
+            dtype=self.dtype, cache_threshold=self.cache_threshold,
         )
 
     def template_action_emb(self, b):

@@ -266,8 +266,9 @@ class CogVideoXImageToVideoPipeline:
 class CogVideoXImageToVideoActionPipeline(CogVideoXImageToVideoPipeline):
     def __init__(self, transformer, vae, text_encoder, action_embedder,
                  action_proj_model, ref_fusion_type: str = "mean", scheduler="ddim",
-                 dtype=jnp.bfloat16):
-        super().__init__(transformer, vae, text_encoder, scheduler, dtype)
+                 dtype=jnp.bfloat16, **kwargs):
+        super().__init__(transformer, vae, text_encoder, scheduler=scheduler,
+                         dtype=dtype, **kwargs)
         self.action_embedder = action_embedder
         self.action_proj_model = action_proj_model
         self.ref_fusion_type = ref_fusion_type
@@ -292,8 +293,9 @@ class CogVideoXImageToVideoActionPipeline(CogVideoXImageToVideoPipeline):
 
 class CogVideoXImageToVideoCTPipeline(CogVideoXImageToVideoPipeline):
     def __init__(self, transformer, vae, text_encoder, condition_transformer,
-                 scheduler="ddim", dtype=jnp.bfloat16):
-        super().__init__(transformer, vae, text_encoder, scheduler, dtype)
+                 scheduler="ddim", dtype=jnp.bfloat16, **kwargs):
+        super().__init__(transformer, vae, text_encoder, scheduler=scheduler,
+                         dtype=dtype, **kwargs)
         self.condition_transformer = condition_transformer
 
     def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None,
