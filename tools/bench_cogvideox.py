@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--frames", type=int, default=17,
                     help="49 = the north-star protocol (17,550 video tokens)")
+    ap.add_argument("--cache-threshold", type=float, default=0.0,
+                    help="adaptive output caching (TeaCache-style); 0 = "
+                    "exact reference protocol — cached numbers are reported "
+                    "separately, never as the protocol headline")
     ap.add_argument("--steps-per-launch", type=int, default=None,
                     help="segmented-sampler launch size; the tunneled runtime "
                     "kills device programs running >~60s")
@@ -121,7 +125,8 @@ def main():
     # at 49f the 11.1 GB DiT + 17.8k-token activations need every spare GB;
     # the VAE runs in its own residency windows (encode here, decode phase C)
     pipe = CogVideoXImageToVideoPipeline(
-        dit, vae, text_encoder=None, cfg_mode="sequential", dtype=dtype
+        dit, vae, text_encoder=None, cfg_mode="sequential", dtype=dtype,
+        cache_threshold=args.cache_threshold,
     )
     f_lat = (f - 1) // 4 + 1
     vae_params = {"vae": bf16_params(lambda: vae.init(
@@ -239,7 +244,8 @@ def main():
     # would compare different workloads
     vs = round(59.4 / total, 3) if (f, h, w, steps) == (17, 480, 720, 50) else None
     print(json.dumps({
-        "metric": f"CogVideoX-5B-I2V {f}f {h}x{w} {steps}-step s/video (single v5e, phased T5/decode)",
+        "metric": f"CogVideoX-5B-I2V {f}f {h}x{w} {steps}-step s/video (single v5e, phased T5/decode)"
+                  + (f" [adaptive cache thr={args.cache_threshold}]" if args.cache_threshold > 0 else ""),
         "value": round(total, 2),
         "unit": "s/video",
         "vs_baseline": vs,
