@@ -125,10 +125,13 @@ def ddim_sample(
     parameterization: str = "v",
     timestep_spacing: str = "uniform_trailing",
     eta: float = 0.0,
+    cache_threshold: float = 0.0,
 ):
     """DDIM loop under lax.fori_loop.
 
     denoise_fn(x, t) -> (pred_cond, pred_uncond); latents [b, t, h, w, c].
+    ``cache_threshold > 0`` enables opt-in adaptive output caching
+    (models/sampler_cache.py); 0.0 is bit-identical to the exact loop.
     """
     ts_np = schedule.ddim_timesteps(num_steps, timestep_spacing)
     ts = jnp.asarray(ts_np)
@@ -146,7 +149,15 @@ def ddim_sample(
         # (index 0) uses alphas_cumprod[0] / scale_arr[ts[0]], NOT 1.0
         a_prev = jnp.where(idx > 0, acp[ts[jnp.maximum(idx - 1, 0)]], acp[0])
 
-        pred_c, pred_u = denoise_fn(x, t)
+        if cache_threshold > 0.0:
+            x, cache = x[0], x[1:]
+            from motionrag_tpu.models.sampler_cache import cached_call
+
+            (pred_c, pred_u), cache = cached_call(
+                denoise_fn, x, t, cache, cache_threshold,
+                (i == 0) | (i == n - 1))
+        else:
+            pred_c, pred_u = denoise_fn(x, t)
         model_out = pred_u + guidance_scale * (pred_c - pred_u)
         if guidance_rescale > 0.0:
             model_out = _rescale_noise_cfg(model_out, pred_c, guidance_rescale)
@@ -171,8 +182,16 @@ def ddim_sample(
 
         dir_xt = jnp.sqrt(1.0 - a_prev) * e_t  # eta=0
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
-        return x_prev.astype(x.dtype)
+        x_prev = x_prev.astype(x.dtype)
+        if cache_threshold > 0.0:
+            return (x_prev,) + tuple(cache)
+        return x_prev
 
+    if cache_threshold > 0.0:
+        from motionrag_tpu.models.sampler_cache import init_cache
+
+        out = lax.fori_loop(0, n, body, (latents,) + init_cache(latents, 2))
+        return out[0]
     return lax.fori_loop(0, n, body, latents)
 
 
@@ -185,6 +204,7 @@ def ddim_sample_dual_cfg(
     image_guidance_scale: float = 1.0,
     guidance_rescale: float = 0.0,
     timestep_spacing: str = "uniform_trailing",
+    cache_threshold: float = 0.0,
 ):
     """Dual-CFG DDIM (reference ``lvdm/models/samplers/ddim_multiplecond.py``):
     text and image guidance applied separately,
@@ -206,7 +226,15 @@ def ddim_sample_dual_cfg(
         a_t = acp[t]
         a_prev = jnp.where(idx > 0, acp[ts[jnp.maximum(idx - 1, 0)]], acp[0])
 
-        pred_full, pred_img, pred_uc = denoise_fn3(x, t)
+        if cache_threshold > 0.0:
+            x, cache = x[0], x[1:]
+            from motionrag_tpu.models.sampler_cache import cached_call
+
+            (pred_full, pred_img, pred_uc), cache = cached_call(
+                denoise_fn3, x, t, cache, cache_threshold,
+                (i == 0) | (i == n - 1))
+        else:
+            pred_full, pred_img, pred_uc = denoise_fn3(x, t)
         model_out = (
             pred_uc
             + image_guidance_scale * (pred_img - pred_uc)
@@ -224,6 +252,14 @@ def ddim_sample_dual_cfg(
             )
             pred_x0 = pred_x0 * (prev_scale / scale_arr[t])
         x_prev = jnp.sqrt(a_prev) * pred_x0 + jnp.sqrt(1.0 - a_prev) * e_t
-        return x_prev.astype(x.dtype)
+        x_prev = x_prev.astype(x.dtype)
+        if cache_threshold > 0.0:
+            return (x_prev,) + tuple(cache)
+        return x_prev
 
+    if cache_threshold > 0.0:
+        from motionrag_tpu.models.sampler_cache import init_cache
+
+        out = lax.fori_loop(0, n, body, (latents,) + init_cache(latents, 3))
+        return out[0]
     return lax.fori_loop(0, n, body, latents)

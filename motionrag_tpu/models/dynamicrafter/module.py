@@ -67,6 +67,7 @@ class DynamiCrafterModule:
         null_prompt_ids=None,
         frame_stride: int = 10,
         cfg_mode: str = "sequential",
+        cache_threshold: float = 0.0,
         eval_pipeline_call_kwargs: dict | None = None,
         freeze_modules=("vae", "text_encoder", "image_encoder"),
         full_trainable_modules=(),
@@ -89,6 +90,7 @@ class DynamiCrafterModule:
             base_scale=base_scale,
         )
         self.cfg_mode = cfg_mode
+        self.cache_threshold = float(cache_threshold)
         self.rand_cond_frame = rand_cond_frame
         self.uncond_prob = uncond_prob
         # token ids of the tokenized empty prompt "" (BOS/EOS + padding for a
@@ -110,7 +112,8 @@ class DynamiCrafterModule:
         self.pipe = self.build_pipeline()
 
     def build_pipeline(self):
-        return DynamiCrafterPipeline(self, cfg_mode=self.cfg_mode)
+        return DynamiCrafterPipeline(self, cfg_mode=self.cfg_mode,
+                                     cache_threshold=self.cache_threshold)
 
     # -- init --------------------------------------------------------------
 

@@ -23,12 +23,15 @@ __all__ = ["DynamiCrafterPipeline", "DynamiCrafterPipelineRef"]
 
 
 class DynamiCrafterPipeline:
-    def __init__(self, module, cfg_mode: str = "sequential"):
+    def __init__(self, module, cfg_mode: str = "sequential",
+                 cache_threshold: float = 0.0):
         self.module = module
         # 'batched' = reference-style 2x batch per step (ddim.py:218-237);
         # 'sequential' = two half-batch UNet calls, identical math, half the
         # activation peak — needed for 16f 1024x576 on a 16GB-HBM chip
         self.cfg_mode = cfg_mode
+        # opt-in adaptive output caching (models/sampler_cache.py); 0 = exact
+        self.cache_threshold = float(cache_threshold)
 
     @functools.partial(jax.jit, static_argnames=("self", "num_frames"))
     def _conditioning(self, params, video, prompt_ids, neg_ids, num_frames: int):
@@ -103,7 +106,7 @@ class DynamiCrafterPipeline:
         return ddim_sample(
             module.schedule, denoise_fn, noise, num_steps,
             guidance_scale=guidance_scale, guidance_rescale=guidance_rescale_f,
-            parameterization="v",
+            parameterization="v", cache_threshold=self.cache_threshold,
         )
 
     def __call__(

@@ -183,3 +183,39 @@ def test_ddim_dual_cfg_runs():
                                text_guidance_scale=7.5, image_guidance_scale=1.2)
     assert out.shape == x0.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dc_adaptive_cache_sampling():
+    """cache_threshold on both lvdm DDIM samplers: 0.0 bit-identical,
+    positive threshold finite with bounded drift (models/sampler_cache.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motionrag_tpu.models.dynamicrafter.ddim import (
+        LVDMSchedule, ddim_sample, ddim_sample_dual_cfg)
+
+    sched = LVDMSchedule()
+    x0 = jax.random.normal(jax.random.key(0), (1, 3, 4, 4, 4), jnp.float32)
+
+    def fn2(x, t):
+        c = jnp.cos(x + t.astype(jnp.float32) * 0.001)
+        return c, 0.9 * c
+
+    exact = ddim_sample(sched, fn2, x0, 8)
+    zero = ddim_sample(sched, fn2, x0, 8, cache_threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(zero))
+    cached = ddim_sample(sched, fn2, x0, 8, cache_threshold=0.05)
+    assert np.isfinite(np.asarray(cached)).all()
+    rel = float(jnp.linalg.norm(cached - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.5, rel
+
+    def fn3(x, t):
+        c = jnp.cos(x + t.astype(jnp.float32) * 0.001)
+        return c, 0.95 * c, 0.9 * c
+
+    exact3 = ddim_sample_dual_cfg(sched, fn3, x0, 8)
+    zero3 = ddim_sample_dual_cfg(sched, fn3, x0, 8, cache_threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(exact3), np.asarray(zero3))
+    cached3 = ddim_sample_dual_cfg(sched, fn3, x0, 8, cache_threshold=0.05)
+    assert np.isfinite(np.asarray(cached3)).all()
