@@ -50,6 +50,7 @@ class SVDModule:
         latents_noise_config: dict | None = None,
         eval_pipeline_call_kwargs: dict | None = None,
         freeze_modules=("image_encoder", "vae", "unet"),
+        cache_threshold: float = 0.0,
         full_trainable_modules=(),
         lora_trainable_modules=(),
         lora_rank: int = 64,
@@ -66,12 +67,14 @@ class SVDModule:
         self.lora_trainable_modules = tuple(lora_trainable_modules)
         self.lora_rank = lora_rank
         self.dtype = dtype
+        self.cache_threshold = float(cache_threshold)
         self.pipe = self.build_pipeline()
 
     # -- construction ------------------------------------------------------
 
     def build_pipeline(self) -> SVDPipeline:
-        return SVDPipeline(self.unet, self.vae, self.image_encoder, self.dtype)
+        return SVDPipeline(self.unet, self.vae, self.image_encoder, self.dtype,
+                           cache_threshold=self.cache_threshold)
 
     def extra_param_inits(self, rng, batch) -> dict:
         return {}
@@ -191,6 +194,7 @@ class SVDActionModule(SVDModule):
         return SVDActionPipeline(
             self.unet, self.vae, self.image_encoder,
             self.action_embedder, self.action_proj_model, self.ref_fusion_type, self.dtype,
+            cache_threshold=self.cache_threshold,
         )
 
     def template_action_emb(self, b):
@@ -235,7 +239,8 @@ class SVDCTModule(SVDActionModule):
 
     def build_pipeline(self):
         return SVDCTPipeline(
-            self.unet, self.vae, self.image_encoder, self.condition_transformer, self.dtype
+            self.unet, self.vae, self.image_encoder, self.condition_transformer, self.dtype,
+            cache_threshold=self.cache_threshold,
         )
 
     def template_action_emb(self, b):

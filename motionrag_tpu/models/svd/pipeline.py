@@ -46,7 +46,7 @@ class SVDPipeline:
     passed per call (pure-functional, trainer-owned)."""
 
     def __init__(self, unet, vae, image_encoder, dtype=jnp.bfloat16,
-                 cfg_mode: str = "sequential"):
+                 cfg_mode: str = "sequential", cache_threshold: float = 0.0):
         self.unet = unet
         self.vae = vae
         self.image_encoder = image_encoder
@@ -54,6 +54,8 @@ class SVDPipeline:
         # 'batched' = reference-style 2x batch per step; 'sequential' halves
         # the activation peak (16GB-HBM chips) at identical FLOPs
         self.cfg_mode = cfg_mode
+        # opt-in adaptive output caching (models/sampler_cache.py); 0 = exact
+        self.cache_threshold = float(cache_threshold)
 
     # -- conditioning ------------------------------------------------------
 
@@ -129,7 +131,8 @@ class SVDPipeline:
             )
             return pred_u, pred_c
 
-        denoised = euler_sample_loop(denoise_fn, latents, sigmas, guidance_scale)
+        denoised = euler_sample_loop(denoise_fn, latents, sigmas, guidance_scale,
+                                     cache_threshold=self.cache_threshold)
         return denoised
 
     @functools.partial(jax.jit, static_argnames=("self", "n"))
@@ -199,8 +202,8 @@ class SVDActionPipeline(SVDPipeline):
     (reference ``svd/pipelines/pipeline.py:60-119``)."""
 
     def __init__(self, unet, vae, image_encoder, action_embedder, action_proj_model,
-                 ref_fusion_type: str = "mean", dtype=jnp.bfloat16):
-        super().__init__(unet, vae, image_encoder, dtype)
+                 ref_fusion_type: str = "mean", dtype=jnp.bfloat16, **kwargs):
+        super().__init__(unet, vae, image_encoder, dtype, **kwargs)
         self.action_embedder = action_embedder
         self.action_proj_model = action_proj_model
         self.ref_fusion_type = ref_fusion_type
@@ -224,8 +227,9 @@ class SVDCTPipeline(SVDPipeline):
     motions in-context; uncond branch from a zeros video
     (reference ``svd/pipelines/pipeline.py:122-160``)."""
 
-    def __init__(self, unet, vae, image_encoder, condition_transformer, dtype=jnp.bfloat16):
-        super().__init__(unet, vae, image_encoder, dtype)
+    def __init__(self, unet, vae, image_encoder, condition_transformer, dtype=jnp.bfloat16,
+                 **kwargs):
+        super().__init__(unet, vae, image_encoder, dtype, **kwargs)
         self.condition_transformer = condition_transformer
 
     def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None, image=None):

@@ -42,6 +42,7 @@ def euler_sample_loop(
     latents: jnp.ndarray,
     sigmas: jnp.ndarray,
     guidance_scale: jnp.ndarray | None = None,
+    cache_threshold: float = 0.0,
 ):
     """Run the Euler ancestral-free sampling loop.
 
@@ -49,25 +50,47 @@ def euler_sample_loop(
     or a single denoised tensor when guidance_scale is None.
     latents: [b, f, h, w, c] noise * sqrt(sigma0^2+1).
     guidance_scale: [f] per-frame CFG scale or None.
+    ``cache_threshold > 0`` enables opt-in adaptive output caching
+    (models/sampler_cache.py); 0.0 is bit-identical to the exact loop.
     """
     num_steps = sigmas.shape[0] - 1
     sigmas = jnp.asarray(sigmas, jnp.float32)
+    n_out = 1 if guidance_scale is None else 2
 
     def body(i, x):
+        if cache_threshold > 0.0:
+            x, cache = x[0], x[1:]
         sigma = sigmas[i]
         c_skip, c_out, c_in, c_noise = edm_precondition(sigma)
         x_in = (x.astype(jnp.float32) * c_in).astype(x.dtype)
-        if guidance_scale is None:
-            pred = denoise_fn(x_in, c_noise, sigma)
-            denoised = c_skip * x.astype(jnp.float32) + c_out * pred.astype(jnp.float32)
+        if cache_threshold > 0.0:
+            from motionrag_tpu.models.sampler_cache import cached_call
+
+            preds, cache = cached_call(
+                lambda xi, _t: denoise_fn(xi, c_noise, sigma), x_in, 0,
+                cache, cache_threshold, (i == 0) | (i == num_steps - 1))
         else:
-            pred_u, pred_c = denoise_fn(x_in, c_noise, sigma)
+            preds = denoise_fn(x_in, c_noise, sigma)
+            preds = (preds,) if n_out == 1 else tuple(preds)
+        if guidance_scale is None:
+            denoised = c_skip * x.astype(jnp.float32) + c_out * preds[0].astype(jnp.float32)
+        else:
+            pred_u, pred_c = preds
             den_u = c_skip * x.astype(jnp.float32) + c_out * pred_u.astype(jnp.float32)
             den_c = c_skip * x.astype(jnp.float32) + c_out * pred_c.astype(jnp.float32)
             g = guidance_scale[None, :, None, None, None]
             denoised = den_u + g * (den_c - den_u)
         d = (x.astype(jnp.float32) - denoised) / sigma
         x_next = x.astype(jnp.float32) + d * (sigmas[i + 1] - sigma)
-        return x_next.astype(x.dtype)
+        x_next = x_next.astype(x.dtype)
+        if cache_threshold > 0.0:
+            return (x_next,) + tuple(cache)
+        return x_next
 
+    if cache_threshold > 0.0:
+        from motionrag_tpu.models.sampler_cache import init_cache
+
+        out = lax.fori_loop(0, num_steps, body,
+                            (latents,) + init_cache(latents, n_out))
+        return out[0]
     return lax.fori_loop(0, num_steps, body, latents)

@@ -155,3 +155,29 @@ def test_cfg_modes_equivalent():
             decode_chunk_size=4,
         ))
     np.testing.assert_allclose(outs["batched"], outs["sequential"], atol=2e-4, rtol=1e-3)
+
+
+def test_svd_euler_adaptive_cache():
+    """cache_threshold on the EDM Euler loop: 0.0 bit-identical, positive
+    threshold finite with bounded drift (models/sampler_cache.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motionrag_tpu.models.svd.sampler import euler_sample_loop, karras_sigmas
+
+    sigmas = karras_sigmas(8)
+    x0 = jax.random.normal(jax.random.key(0), (1, 3, 4, 4, 4), jnp.float32) * float(
+        jnp.sqrt(sigmas[0] ** 2 + 1)
+    )
+    g = jnp.linspace(1.0, 3.0, 3)
+
+    def fn(x, c_noise, sigma):
+        c = jnp.cos(x * 0.1 + c_noise)
+        return 0.9 * c, c
+
+    exact = euler_sample_loop(fn, x0, sigmas, g)
+    zero = euler_sample_loop(fn, x0, sigmas, g, cache_threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(zero))
+    cached = euler_sample_loop(fn, x0, sigmas, g, cache_threshold=0.05)
+    assert np.isfinite(np.asarray(cached)).all()
