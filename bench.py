@@ -161,7 +161,12 @@ def bench_dynamicrafter(small: bool):
         )
     else:
         h, w, f, steps = 576, 1024, 16, 30
-        module = DynamiCrafterModule(dtype=dtype)  # DynamiCrafter_1024 scale
+        # MRT_CACHE_THRESHOLD > 0 measures the opt-in adaptive-caching mode
+        # (models/sampler_cache.py); the default headline stays exact
+        module = DynamiCrafterModule(
+            dtype=dtype,
+            cache_threshold=float(__import__("os").environ.get("MRT_CACHE_THRESHOLD", 0)),
+        )  # DynamiCrafter_1024 scale
 
     batch = {
         "video": jnp.zeros((1, f, 3, h, w), dtype),
