@@ -67,6 +67,7 @@ class Trainer:
         param_sharding: str = "replicated",  # or 'fsdp'
         partition_rules: Optional[list] = None,
         logger: Any = None,
+        accumulate_grad_batches: int = 1,
     ):
         self.max_steps = max_steps
         self.mesh_config = mesh_config or MeshConfig()
@@ -85,6 +86,7 @@ class Trainer:
         self.param_sharding = param_sharding
         self.partition_rules = partition_rules
         self.logger = build_logger(logger, self.root_dir)
+        self.accumulate_grad_batches = int(accumulate_grad_batches)
         self.mesh = None
 
     # -- setup -------------------------------------------------------------
@@ -161,6 +163,16 @@ class Trainer:
         self.tx, self.mask = build_optimizer(
             params, trainable_patterns, **self.optimizer_config
         )
+        if self.accumulate_grad_batches > 1:
+            # Lightning's accumulate_grad_batches: grads are averaged over k
+            # micro-batches and applied once (trainer.step still counts
+            # micro-steps). optax.MultiSteps keeps the accumulator in
+            # opt_state, so it shards/donates with the rest of the state.
+            import optax
+
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=self.accumulate_grad_batches
+            )
         # place params per the sharding policy; optimizer state and EMA
         # inherit the shardings through zeros_like/astype
         shardings = self._param_shardings(params)

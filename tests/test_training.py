@@ -255,3 +255,73 @@ def test_trainer_fsdp_param_sharding(tmp_path):
         if hasattr(leaf, "sharding") and leaf.ndim >= 2
     ]
     assert any("fsdp" in str(s.spec) for s in shardings)
+
+
+class _LinearModule:
+    """Minimal Trainer-protocol module: loss = <w, g> so grad(w) is the
+    batch-constant ``g`` row and optimizer behavior is exactly observable."""
+
+    full_trainable_modules = ("w",)
+    trainable_patterns = ("w",)
+
+    def init_params(self, rng, batch):
+        return {"w": {"params": {"kernel": jnp.zeros((4,), jnp.float32)}}}
+
+    def loss(self, params, batch, rng):
+        w = params["w"]["params"]["kernel"]
+        loss = jnp.sum(w * jnp.mean(batch["g"], axis=0))
+        return loss, {"main_loss": loss}
+
+
+class _GradDataModule:
+    def __init__(self, n=4):
+        self.batch = {"g": np.ones((2, 4), np.float32)}
+        self.n = n
+
+    def prepare_data(self):
+        pass
+
+    def setup(self, stage):
+        pass
+
+    def train_dataloader(self):
+        return [self.batch] * self.n
+
+    def val_dataloader(self):
+        return []
+
+    def test_dataloader(self):
+        return []
+
+
+def _fit_linear(tmp_path, tag, accumulate, max_steps):
+    from motionrag_tpu.parallel.mesh import MeshConfig
+    from motionrag_tpu.training.trainer import Trainer
+
+    trainer = Trainer(
+        max_steps=max_steps,
+        mesh_config=MeshConfig(dp=2, tp=1, sp=1),
+        optimizer_config={"learning_rate": 1e-2},
+        val_check_interval=0,
+        log_every_n_steps=100,
+        checkpoint_every_n_steps=0,
+        default_root_dir=str(tmp_path / tag),
+        accumulate_grad_batches=accumulate,
+    )
+    state = trainer.fit(_LinearModule(), _GradDataModule())
+    return np.asarray(jax.device_get(state.params["w"]["params"]["kernel"]))
+
+
+def test_accumulate_grad_batches(tmp_path):
+    """Lightning ``accumulate_grad_batches`` semantics (reference
+    configs/*/MotionRAG_open.yml trainer block): grads are averaged over k
+    micro-batches and applied as ONE optimizer update. With identical
+    micro-batches, k=2 over 2 steps must equal k=1 over 1 step exactly,
+    and a single micro-step under k=2 must leave params untouched."""
+    w_deferred = _fit_linear(tmp_path, "deferred", accumulate=2, max_steps=1)
+    np.testing.assert_array_equal(w_deferred, 0.0)
+
+    w_acc = _fit_linear(tmp_path, "acc", accumulate=2, max_steps=2)
+    w_ref = _fit_linear(tmp_path, "ref", accumulate=1, max_steps=1)
+    assert np.abs(w_acc).max() > 0
+    np.testing.assert_allclose(w_acc, w_ref, rtol=0, atol=0)
