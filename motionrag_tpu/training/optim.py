@@ -99,6 +99,7 @@ def build_optimizer(
     betas: tuple[float, float] = (0.9, 0.999),
     eps: float = 1e-8,
     grad_clip: float | None = None,
+    grad_clip_algorithm: str = "norm",
     warmup_steps: int = 0,
     total_steps: int | None = None,
     schedule: str = "constant",
@@ -128,7 +129,13 @@ def build_optimizer(
 
     chain = []
     if grad_clip:
-        chain.append(optax.clip_by_global_norm(grad_clip))
+        # Lightning gradient_clip_algorithm: 'norm' (default) or 'value'
+        if grad_clip_algorithm in (None, "norm"):
+            chain.append(optax.clip_by_global_norm(grad_clip))
+        elif grad_clip_algorithm == "value":
+            chain.append(optax.clip(grad_clip))
+        else:
+            raise ValueError(f"unknown grad_clip_algorithm {grad_clip_algorithm!r}")
     chain.append(optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay))
     tx = optax.chain(*chain)
 

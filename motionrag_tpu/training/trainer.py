@@ -37,6 +37,22 @@ from motionrag_tpu.utils.pipeline import assert_video_output, tensor2vid
 
 __all__ = ["Trainer", "TrainState", "JSONLLogger"]
 
+# Lightning trainer keys that reference configs carry verbatim but that the
+# TPU runtime resolves by construction: device placement comes from the
+# MeshConfig (devices/num_nodes/accelerator/strategy), precision from the
+# modules' bf16 dtype policy, and the rest are torch/Lightning runtime
+# toggles with no JAX counterpart. Accepted so a reference config drops in
+# unchanged (reference configs/*/MotionRAG_open.yml trainer block).
+_LIGHTNING_NOOP_KEYS = frozenset({
+    "accelerator", "strategy", "devices", "num_nodes", "precision",
+    "plugins", "profiler", "sync_batchnorm", "use_distributed_sampler",
+    "benchmark", "deterministic", "detect_anomaly", "inference_mode",
+    "barebones", "enable_progress_bar", "enable_model_summary",
+    "reload_dataloaders_every_n_epochs", "overfit_batches",
+    "check_val_every_n_epoch", "min_steps", "min_epochs", "max_time",
+    "limit_predict_batches",
+})
+
 
 @flax.struct.dataclass
 class TrainState:
@@ -68,10 +84,39 @@ class Trainer:
         partition_rules: Optional[list] = None,
         logger: Any = None,
         accumulate_grad_batches: int = 1,
+        gradient_clip_val: float | None = None,
+        gradient_clip_algorithm: str | None = None,
+        max_epochs: int | None = None,
+        limit_train_batches: Optional[int] = None,
+        fast_dev_run: bool | int | None = None,
+        enable_checkpointing: bool | None = None,
+        **lightning_kwargs,
     ):
-        self.max_steps = max_steps
+        unknown = set(lightning_kwargs) - _LIGHTNING_NOOP_KEYS
+        if unknown:
+            raise TypeError(
+                f"Trainer got unexpected keyword arguments: {sorted(unknown)}"
+            )
+        # Lightning: max_steps=-1/None means "until max_epochs exhausts"
+        self.max_steps = float("inf") if max_steps in (None, -1) else max_steps
+        self.max_epochs = max_epochs
+        if self.max_steps == float("inf") and self.max_epochs is None:
+            self.max_epochs = 1000  # Lightning's default when both unbounded
+        self.limit_train_batches = (
+            int(limit_train_batches)
+            if isinstance(limit_train_batches, (int, float))
+            and limit_train_batches >= 1 else None
+        )
         self.mesh_config = mesh_config or MeshConfig()
-        self.optimizer_config = optimizer_config or {}
+        self.optimizer_config = dict(optimizer_config or {})
+        if gradient_clip_val is not None:
+            # trainer-level Lightning key -> the optimizer chain; an explicit
+            # optimizer_config grad_clip wins (it's the more specific knob)
+            self.optimizer_config.setdefault("grad_clip", gradient_clip_val)
+            if gradient_clip_algorithm is not None:
+                self.optimizer_config.setdefault(
+                    "grad_clip_algorithm", gradient_clip_algorithm
+                )
         self.val_check_interval = val_check_interval
         self.log_every_n_steps = log_every_n_steps
         self.checkpoint_every_n_steps = checkpoint_every_n_steps
@@ -87,6 +132,20 @@ class Trainer:
         self.partition_rules = partition_rules
         self.logger = build_logger(logger, self.root_dir)
         self.accumulate_grad_batches = int(accumulate_grad_batches)
+        self.checkpointing_enabled = enable_checkpointing is not False
+        if not self.checkpointing_enabled:
+            self.checkpoint_every_n_steps = 0
+        if fast_dev_run:
+            # Lightning fast_dev_run: n batches of train (+val), no
+            # checkpointing, no sanity run — a smoke pass through the loop
+            n = 1 if fast_dev_run is True else int(fast_dev_run)
+            self.max_steps = n
+            self.val_check_interval = 0
+            self.checkpoint_every_n_steps = 0
+            self.checkpointing_enabled = False
+            self.num_sanity_val_steps = 0
+            self.limit_val_batches = n
+            self.limit_test_batches = n
         self.mesh = None
 
     # -- setup -------------------------------------------------------------
@@ -275,6 +334,8 @@ class Trainer:
                 cb.on_fit_start(self, module)
 
         batch = first_batch
+        epoch = 0
+        batch_in_epoch = 1  # first_batch already drawn
         t0 = time.time()
         while int(jax.device_get(state.step)) < self.max_steps:
             for cb in self.callbacks:
@@ -311,14 +372,27 @@ class Trainer:
             if self.val_check_interval and step % self.val_check_interval == 0:
                 self.validate(module, state, datamodule, limit=self.limit_val_batches)
 
-            try:
-                batch = next(train_iter)
-            except StopIteration:
+            epoch_end = (
+                self.limit_train_batches is not None
+                and batch_in_epoch >= self.limit_train_batches
+            )
+            if not epoch_end:
+                try:
+                    batch = next(train_iter)
+                    batch_in_epoch += 1
+                except StopIteration:
+                    epoch_end = True
+            if epoch_end:
+                epoch += 1
+                if self.max_epochs is not None and epoch >= self.max_epochs:
+                    break
                 train_iter = iter(datamodule.train_dataloader())
                 batch = next(train_iter)
+                batch_in_epoch = 1
 
         final_step = int(jax.device_get(state.step))
-        if not (self.checkpoint_every_n_steps
+        if self.checkpointing_enabled and not (
+                self.checkpoint_every_n_steps
                 and final_step % self.checkpoint_every_n_steps == 0):
             self.save_checkpoint(state, final_step)  # not already saved above
         self.logger.finish()

@@ -274,9 +274,10 @@ class _LinearModule:
 
 
 class _GradDataModule:
-    def __init__(self, n=4):
+    def __init__(self, n=4, batches=None):
         self.batch = {"g": np.ones((2, 4), np.float32)}
         self.n = n
+        self.batches = batches
 
     def prepare_data(self):
         pass
@@ -285,6 +286,8 @@ class _GradDataModule:
         pass
 
     def train_dataloader(self):
+        if self.batches is not None:
+            return list(self.batches)
         return [self.batch] * self.n
 
     def val_dataloader(self):
@@ -325,3 +328,90 @@ def test_accumulate_grad_batches(tmp_path):
     w_ref = _fit_linear(tmp_path, "ref", accumulate=1, max_steps=1)
     assert np.abs(w_acc).max() > 0
     np.testing.assert_allclose(w_acc, w_ref, rtol=0, atol=0)
+
+
+def _mk_trainer(tmp_path, tag, **kw):
+    from motionrag_tpu.parallel.mesh import MeshConfig
+    from motionrag_tpu.training.trainer import Trainer
+
+    kw.setdefault("mesh_config", MeshConfig(dp=2, tp=1, sp=1))
+    kw.setdefault("optimizer_config", {"learning_rate": 1e-2})
+    kw.setdefault("val_check_interval", 0)
+    kw.setdefault("log_every_n_steps", 100)
+    kw.setdefault("checkpoint_every_n_steps", 0)
+    kw.setdefault("default_root_dir", str(tmp_path / tag))
+    return Trainer(**kw)
+
+
+def test_lightning_trainer_block_drop_in(tmp_path):
+    """A verbatim reference trainer block (Lightning dump, reference
+    configs/dynamicrafter/MotionRAG_open.yml:46-70) must construct: the
+    placement/precision keys are resolved by the mesh + dtype policy,
+    gradient_clip_val flows into the optimizer chain, and genuinely
+    unknown keys still raise (typo safety)."""
+    import pytest
+
+    trainer = _mk_trainer(
+        tmp_path, "lightning",
+        accelerator="auto", strategy="auto", devices=8, num_nodes=1,
+        precision="bf16-true", max_epochs=None, max_steps=10000,
+        limit_train_batches=None, limit_predict_batches=None,
+        overfit_batches=0.0, check_val_every_n_epoch=None,
+        min_steps=None, min_epochs=None, max_time=None,
+        accumulate_grad_batches=1, gradient_clip_val=0.5,
+        gradient_clip_algorithm=None, deterministic=None, benchmark=True,
+        inference_mode=True, use_distributed_sampler=True, profiler=None,
+        detect_anomaly=False, barebones=False, plugins=None,
+        sync_batchnorm=False, reload_dataloaders_every_n_epochs=0,
+        enable_checkpointing=None, enable_progress_bar=None,
+        enable_model_summary=None, fast_dev_run=None,
+    )
+    assert trainer.optimizer_config["grad_clip"] == 0.5
+    with pytest.raises(TypeError):
+        _mk_trainer(tmp_path, "typo", graident_clip_val=0.5)
+
+
+def test_max_epochs_and_limit_train_batches(tmp_path):
+    """Lightning epoch accounting: max_epochs bounds passes over the
+    loader; limit_train_batches truncates each pass."""
+    trainer = _mk_trainer(tmp_path, "epochs", max_steps=-1, max_epochs=2)
+    state = trainer.fit(_LinearModule(), _GradDataModule(n=3))
+    assert int(jax.device_get(state.step)) == 6
+
+    trainer = _mk_trainer(
+        tmp_path, "limit", max_steps=-1, max_epochs=2, limit_train_batches=2
+    )
+    state = trainer.fit(_LinearModule(), _GradDataModule(n=4))
+    assert int(jax.device_get(state.step)) == 4
+
+
+def test_fast_dev_run_and_checkpointing_off(tmp_path):
+    """fast_dev_run runs exactly one step and writes no checkpoint;
+    enable_checkpointing=false suppresses the final save."""
+    trainer = _mk_trainer(tmp_path, "fdr", max_steps=100, fast_dev_run=True,
+                          checkpoint_every_n_steps=50)
+    state = trainer.fit(_LinearModule(), _GradDataModule(n=4))
+    assert int(jax.device_get(state.step)) == 1
+    assert not (tmp_path / "fdr" / "checkpoints").exists()
+
+    trainer = _mk_trainer(tmp_path, "nockpt", max_steps=2,
+                          enable_checkpointing=False)
+    trainer.fit(_LinearModule(), _GradDataModule(n=4))
+    assert not (tmp_path / "nockpt" / "checkpoints").exists()
+
+
+def test_gradient_clip_val_changes_updates(tmp_path):
+    """With gradient scales varying across steps, global-norm clipping must
+    change the Adam trajectory; an effectively-infinite clip must not."""
+    batches = [{"g": np.full((2, 4), s, np.float32)} for s in (1.0, 100.0)]
+
+    def fit(tag, **kw):
+        trainer = _mk_trainer(tmp_path, tag, max_steps=2, **kw)
+        state = trainer.fit(_LinearModule(), _GradDataModule(batches=batches))
+        return np.asarray(jax.device_get(state.params["w"]["params"]["kernel"]))
+
+    w_plain = fit("plain")
+    w_clip = fit("clip", gradient_clip_val=0.5)
+    w_bigclip = fit("bigclip", gradient_clip_val=1e9)
+    np.testing.assert_allclose(w_bigclip, w_plain, rtol=1e-6)
+    assert np.abs(w_clip - w_plain).max() > 1e-6
