@@ -24,7 +24,27 @@ from motionrag_tpu.models.cogvideox.vae3d import CogVideoXVAE
 from motionrag_tpu.models.encoders.t5 import T5Encoder
 from motionrag_tpu.models.fusion import condition_fusion
 
-__all__ = ["CogVideoX5B", "CogVideoX5BAction", "CogVideoX5BActionTransformer"]
+__all__ = [
+    "CogVideoX5B",
+    "CogVideoX5BAction",
+    "CogVideoX5BActionTransformer",
+    "cogvideox_quant_patterns",
+]
+
+
+def cogvideox_quant_patterns():
+    """(include, exclude) dotted patterns for int8 serving of the DiT
+    (``ops/quant.py``): every block attention/MLP projection quantizes;
+    adaLN modulation projections and the Motion-Adapter branch stay bf16
+    (quality-critical, negligible FLOPs)."""
+    return (
+        ("transformer_blocks",),
+        (
+            "transformer_blocks.*.norm1_linear",
+            "transformer_blocks.*.norm2_linear",
+            "transformer_blocks.*.processor",
+        ),
+    )
 
 
 class CogVideoX5B:
@@ -43,6 +63,7 @@ class CogVideoX5B:
         dtype=jnp.bfloat16,
         cfg_mode: str = "sequential",
         cache_threshold: float = 0.0,
+        quantize: str | None = None,
     ):
         self.transformer = transformer or CogVideoXTransformer3D(
             remat=gradient_checkpointing, dtype=dtype
@@ -61,6 +82,11 @@ class CogVideoX5B:
         # measured configuration); 'batched' is the reference 2x-batch mode.
         self.cfg_mode = cfg_mode
         self.cache_threshold = float(cache_threshold)
+        # opt-in int8 W8A8 DiT serving (ops/quant.py docstring): eval-only —
+        # the frozen backbone is quantized once per param tree and cached
+        self.quantize = quantize
+        self._quant_key = None
+        self._quant_cache = None
         self.schedule = CogVideoXSchedule()
         self.pipe = self.build_pipeline()
 
@@ -69,7 +95,25 @@ class CogVideoX5B:
             self.transformer, self.vae, self.text_encoder,
             scheduler=self.scheduler_name, cfg_mode=self.cfg_mode,
             dtype=self.dtype, cache_threshold=self.cache_threshold,
+            quantize=self.quantize,
         )
+
+    def _quantized_transformer_params(self, tree):
+        """int8 copy of the DiT params, cached by leaf identity. NOTE: the
+        cache keeps one extra (int8) copy alive alongside the fp tree —
+        fine for CPU tests/eval; single-chip serving at 5B scale should
+        quantize once at load and drop the fp tree (tools/bench_cogvideox)."""
+        from motionrag_tpu.ops.quant import quantize_dense_tree
+
+        leaves = jax.tree_util.tree_leaves(tree)
+        key = (len(leaves), id(leaves[0]) if leaves else 0)
+        if self._quant_key != key:
+            include, exclude = cogvideox_quant_patterns()
+            self._quant_cache = jax.jit(
+                quantize_dense_tree, static_argnames=("include", "exclude")
+            )(tree, include=include, exclude=exclude)
+            self._quant_key = key
+        return self._quant_cache
 
     # -- init --------------------------------------------------------------
 
@@ -156,6 +200,11 @@ class CogVideoX5B:
         call_kwargs = dict(self.eval_pipeline_call_kwargs)
         call_kwargs.update(kwargs)
         sample_method = call_kwargs.pop("sample_method", "first")
+        if self.quantize:
+            params = {
+                **params,
+                "transformer": self._quantized_transformer_params(params["transformer"]),
+            }
         image = jnp.asarray(batch["video"])[:, 0]
         frames = self.pipe(
             params, image, rng,
@@ -211,6 +260,7 @@ class CogVideoX5BAction(CogVideoX5B):
             self.action_embedder, self.action_proj_model, self.ref_fusion_type,
             scheduler=self.scheduler_name, cfg_mode=self.cfg_mode,
             dtype=self.dtype, cache_threshold=self.cache_threshold,
+            quantize=self.quantize,
         )
 
     def template_action_emb(self, b):
@@ -255,6 +305,7 @@ class CogVideoX5BActionTransformer(CogVideoX5BAction):
             self.transformer, self.vae, self.text_encoder, self.condition_transformer,
             scheduler=self.scheduler_name, cfg_mode=self.cfg_mode,
             dtype=self.dtype, cache_threshold=self.cache_threshold,
+            quantize=self.quantize,
         )
 
     def template_action_emb(self, b):

@@ -37,7 +37,7 @@ __all__ = [
 class CogVideoXImageToVideoPipeline:
     def __init__(self, transformer, vae, text_encoder, scheduler: str = "ddim",
                  cfg_mode: str = "batched", null_prompt_ids=None, dtype=jnp.bfloat16,
-                 cache_threshold: float = 0.0):
+                 cache_threshold: float = 0.0, quantize: str | None = None):
         self.transformer = transformer
         self.vae = vae
         self.text_encoder = text_encoder
@@ -58,6 +58,19 @@ class CogVideoXImageToVideoPipeline:
         # opt-in adaptive output caching (scheduler.ddim_sample_loop
         # docstring); 0.0 = exact reference protocol
         self.cache_threshold = float(cache_threshold)
+        # opt-in int8 W8A8 serving of the DiT (ops/quant.py): expects the
+        # transformer params pre-transformed by quantize_dense_tree
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = quantize
+
+    def _transformer_apply(self, variables, *args, **kwargs):
+        if self.quantize:
+            from motionrag_tpu.ops.quant import quantized_calls
+
+            with quantized_calls():
+                return self.transformer.apply(variables, *args, **kwargs)
+        return self.transformer.apply(variables, *args, **kwargs)
 
     # -- conditioning ------------------------------------------------------
 
@@ -123,7 +136,7 @@ class CogVideoXImageToVideoPipeline:
             model_in = jnp.concatenate(
                 [x.astype(self.dtype), image_latents.astype(self.dtype)], axis=-1
             )
-            return self.transformer.apply(
+            return self._transformer_apply(
                 params["transformer"], model_in, text.astype(self.dtype),
                 jnp.broadcast_to(t, (b,)), action_emb=action,
             )
@@ -136,7 +149,7 @@ class CogVideoXImageToVideoPipeline:
                 model_in = jnp.concatenate(
                     [x2.astype(self.dtype), img2.astype(self.dtype)], axis=-1
                 )
-                v = self.transformer.apply(
+                v = self._transformer_apply(
                     params["transformer"], model_in, text2.astype(self.dtype),
                     jnp.broadcast_to(t, (2 * b,)), action_emb=action_emb,
                 )

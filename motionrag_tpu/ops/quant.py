@@ -1,0 +1,189 @@
+"""Int8 (W8A8) quantized serving for frozen diffusion backbones.
+
+TPU-native capability beyond the reference (which serves every backbone in
+bf16 CUDA, reference ``cogvideox/module.py:25``): the v5e/v5p MXU executes
+int8 x int8 -> int32 matmuls at 2x the bf16 rate, and int8 weights halve the
+HBM footprint of the 5.57B-param CogVideoX DiT (11.1 GB bf16 -> 5.6 GB) —
+enough headroom for batched CFG and T5 co-residency on a single 16 GB chip.
+
+Scheme (standard W8A8 dynamic quantization):
+  - weights: symmetric per-output-channel int8, scale = absmax/127 (fp32),
+    computed once from the loaded checkpoint;
+  - activations: symmetric per-token (per row of the matmul) int8, scales
+    computed on the fly — a cheap VPU reduction XLA fuses into the
+    surrounding elementwise work;
+  - accumulation in int32 on the MXU, rescale in fp32, bias in fp32.
+
+Only 2-D ``nn.Dense`` kernels are quantized (attention/MLP projections — the
+FLOPs). Convolutions, norms, adaLN modulation projections, and adapter
+branches stay in bf16 (quality-critical, negligible FLOPs).
+
+Execution is routed through a Flax method interceptor rather than swapping
+module classes: ``quantized_calls()`` makes every bound ``nn.Dense`` whose
+params carry a ``kernel_scale`` leaf run the int8 path, so an unchanged
+model definition serves quantized checkpoints (mirroring how the reference's
+config surface never names dtypes per layer).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from motionrag_tpu.training.optim import path_tokens, pattern_matches
+
+__all__ = [
+    "quantize_dense_tree",
+    "quantized_calls",
+    "dense_quant_bytes",
+]
+
+_EPS = 1e-8
+
+
+def _canon_pattern(pattern: str) -> str:
+    """Canonicalize a dotted config pattern through the same token splitter
+    used for param paths ('norm1_linear' -> 'norm1.linear'), so patterns can
+    be written in natural module-name form."""
+    return ".".join(path_tokens(pattern.split(".")))
+
+
+def quantize_kernel(kernel: jnp.ndarray):
+    """fp kernel [in, out] -> (int8 kernel, fp32 per-out-channel scale)."""
+    k = kernel.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(k), axis=0), _EPS) / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_dense_tree(
+    tree,
+    include: Sequence[str] = ("*",),
+    exclude: Sequence[str] = (),
+    _prefix: tuple = (),
+):
+    """Replace matching 2-D Dense kernels in a variables/params pytree with
+    ``{kernel: int8, kernel_scale: fp32[out]}``.
+
+    ``include``/``exclude`` are reference-style dotted module patterns
+    (``training/optim.py`` semantics: prefix match, ``*`` wildcard segment).
+    Already-quantized leaves and non-2-D kernels are left untouched. The
+    returned tree is new; the input is not mutated. Pure in the array leaves,
+    so the transform itself can be ``jax.jit``-ed for a one-launch device
+    conversion.
+    """
+    inc = [_canon_pattern(p) for p in include]
+    exc = [_canon_pattern(p) for p in exclude]
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            out[name] = walk(child, path + (name,)) if isinstance(child, dict) else child
+        kernel = out.get("kernel")
+        if (
+            kernel is not None
+            and not isinstance(kernel, dict)
+            and getattr(kernel, "ndim", 0) == 2
+            and "kernel_scale" not in out
+            and jnp.issubdtype(jnp.asarray(kernel).dtype, jnp.floating)
+        ):
+            toks = path_tokens(path)
+            if any(pattern_matches(toks, p) for p in inc) and not any(
+                pattern_matches(toks, p) for p in exc
+            ):
+                q, scale = quantize_kernel(kernel)
+                out["kernel"] = q
+                out["kernel_scale"] = scale
+        return out
+
+    return walk(tree, tuple(_prefix))
+
+
+def quantize_dense_tree_lowmem(
+    tree,
+    include: Sequence[str] = ("*",),
+    exclude: Sequence[str] = (),
+):
+    """Like :func:`quantize_dense_tree` but subtree-by-subtree, DELETING the
+    source device buffers as it goes — peak extra HBM is one subtree instead
+    of a full int8 copy. This is how a 11 GB bf16 checkpoint quantizes on a
+    16 GB chip. The input tree's arrays are dead afterwards; use only the
+    returned tree."""
+
+    jq = jax.jit(quantize_dense_tree, static_argnames=("include", "exclude", "_prefix"))
+
+    def convert(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if isinstance(child, dict):
+                q = jq(child, include=include, exclude=exclude, _prefix=path + (name,))
+                jax.block_until_ready(q)
+                for leaf in jax.tree_util.tree_leaves(child):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+                out[name] = q
+            else:
+                out[name] = child
+        return out
+
+    # descend through single-child wrapper levels ('params') so the unit of
+    # work is one module subtree, then convert its children one by one
+    if isinstance(tree, dict) and set(tree) == {"params"}:
+        return {"params": convert(tree["params"], ("params",))}
+    return convert(tree, ())
+
+
+def dense_quant_bytes(tree) -> tuple[int, int]:
+    """(quantized_kernel_bytes, total_param_bytes) — for footprint reporting."""
+    qb = tb = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        n = leaf.size * leaf.dtype.itemsize
+        tb += n
+        if leaf.dtype == jnp.int8:
+            qb += n
+    return qb, tb
+
+
+def _int8_dense(mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
+    kernel = mod.get_variable("params", "kernel")          # int8 [in, out]
+    k_scale = mod.get_variable("params", "kernel_scale")   # f32 [out]
+    xf = x.astype(jnp.float32)
+    a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), _EPS) / 127.0
+    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, kernel,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * a_scale * k_scale
+    if mod.use_bias:
+        y = y + mod.get_variable("params", "bias").astype(jnp.float32)
+    return y.astype(mod.dtype or x.dtype)
+
+
+def _interceptor(next_fun, args, kwargs, context):
+    mod = context.module
+    if (
+        context.method_name == "__call__"
+        and type(mod) is nn.Dense
+        and mod.has_variable("params", "kernel_scale")
+    ):
+        return _int8_dense(mod, args[0])
+    return next_fun(*args, **kwargs)
+
+
+@contextmanager
+def quantized_calls():
+    """Context under which ``module.apply`` runs int8-quantized Dense layers
+    (those whose params carry a ``kernel_scale`` leaf). A no-op for
+    unquantized trees."""
+    with nn.intercept_methods(_interceptor):
+        yield

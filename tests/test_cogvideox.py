@@ -188,6 +188,38 @@ def test_cogvideox_pipeline_smoke(cog_setup, scheduler):
     assert np.isfinite(np.asarray(frames)).all()
 
 
+def test_cogvideox_quantized_eval_pipeline(cog_setup):
+    """quantize='int8' end-to-end: the module quantizes the frozen DiT once
+    (cached by leaf identity) and the sampler runs the W8A8 path, staying
+    close to the exact bf16/f32 trajectory at 2 steps."""
+    module, params, batch = cog_setup
+    from motionrag_tpu.models.cogvideox.module import CogVideoX5B
+
+    qmodule = CogVideoX5B(
+        transformer=module.transformer, vae=module.vae,
+        text_encoder=module.text_encoder, dtype=jnp.float32, quantize="int8",
+    )
+    kw = dict(num_frames=9, height=32, width=32, num_inference_steps=2,
+              sample_method=None)
+    module.pipe.scheduler_name = "ddim"
+    exact = module.eval_pipeline(params, batch, jax.random.key(2), **kw)
+    approx = qmodule.eval_pipeline(params, batch, jax.random.key(2), **kw)
+    assert approx.shape == exact.shape
+    assert np.isfinite(np.asarray(approx)).all()
+    # quantized DiT params were cached
+    assert qmodule._quant_cache is not None
+    qleaf = qmodule._quant_cache["params"]["transformer_blocks_0"]["to_q"]["kernel"]
+    assert qleaf.dtype == jnp.int8
+    # same rng, 2 steps of a tiny random model: trajectories stay correlated
+    a, e = np.asarray(approx, np.float64).ravel(), np.asarray(exact, np.float64).ravel()
+    corr = np.corrcoef(a, e)[0, 1]
+    assert corr > 0.95, corr
+    # second call reuses the cache (no retransform)
+    cache_before = qmodule._quant_cache
+    qmodule.eval_pipeline(params, batch, jax.random.key(3), **kw)
+    assert qmodule._quant_cache is cache_before
+
+
 def test_cogvideox_action_module_loss():
     module = CogVideoX5BAction(
         transformer=tiny_dit(adapter_sites=("transformer_blocks.0.attn1.processor",)),

@@ -1,0 +1,168 @@
+"""Int8 W8A8 quantized serving (ops/quant.py).
+
+Covers: tree transform selection semantics, numerical closeness of the
+int8 Dense path, footprint halving, and the DiT-level wiring.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from motionrag_tpu.ops import quant
+
+
+def _dense_tree(rng, din=64, dout=96):
+    mod = nn.Dense(dout, dtype=jnp.float32)
+    x = jax.random.normal(rng, (8, din), jnp.float32)
+    params = mod.init(jax.random.fold_in(rng, 1), x)
+    return mod, params, x
+
+
+def test_quantize_dense_tree_selects_and_converts():
+    rng = jax.random.PRNGKey(0)
+    k = jax.random.normal(rng, (32, 48), jnp.float32)
+    tree = {
+        "params": {
+            "transformer_blocks_3": {"to_q": {"kernel": k, "bias": jnp.zeros((48,))}},
+            "norm1_linear": {"kernel": k},
+            "conv": {"kernel": jnp.zeros((3, 3, 8, 8))},  # non-2D: untouched
+        }
+    }
+    out = quant.quantize_dense_tree(
+        tree, include=("transformer_blocks",), exclude=("norm1_linear",)
+    )
+    q = out["params"]["transformer_blocks_3"]["to_q"]
+    assert q["kernel"].dtype == jnp.int8
+    assert q["kernel_scale"].shape == (48,)
+    assert q["bias"].dtype != jnp.int8
+    assert out["params"]["norm1_linear"]["kernel"].dtype == jnp.float32
+    assert out["params"]["conv"]["kernel"].shape == (3, 3, 8, 8)
+    assert out["params"]["conv"]["kernel"].dtype != jnp.int8
+    # input not mutated
+    assert tree["params"]["transformer_blocks_3"]["to_q"]["kernel"].dtype == jnp.float32
+    # idempotent
+    again = quant.quantize_dense_tree(out, include=("transformer_blocks",))
+    assert again["params"]["transformer_blocks_3"]["to_q"]["kernel"].dtype == jnp.int8
+
+
+def test_underscore_pattern_canonicalization():
+    """Patterns written with natural names ('norm1_linear') must match the
+    digit-split path tokens."""
+    k = jnp.ones((8, 8), jnp.float32)
+    tree = {"norm1_linear": {"kernel": k}, "ff_in": {"kernel": k}}
+    out = quant.quantize_dense_tree(tree, include=("*",), exclude=("*.norm1_linear",))
+    assert out["norm1_linear"]["kernel"].dtype == jnp.float32
+    assert out["ff_in"]["kernel"].dtype == jnp.int8
+
+
+def test_int8_dense_close_to_exact():
+    rng = jax.random.PRNGKey(2)
+    mod, params, x = _dense_tree(rng)
+    exact = mod.apply(params, x)
+    qparams = quant.quantize_dense_tree(params)
+    with quant.quantized_calls():
+        approx = mod.apply(qparams, x)
+    assert approx.dtype == exact.dtype
+    err = np.linalg.norm(np.asarray(approx - exact)) / np.linalg.norm(np.asarray(exact))
+    assert err < 0.02, err
+    # quantization noise must actually be present (int8 path taken)
+    assert float(jnp.abs(approx - exact).max()) > 0
+
+
+def test_quantized_calls_noop_without_scales():
+    rng = jax.random.PRNGKey(3)
+    mod, params, x = _dense_tree(rng)
+    exact = mod.apply(params, x)
+    with quant.quantized_calls():
+        same = mod.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(same))
+
+
+def test_footprint_halves():
+    rng = jax.random.PRNGKey(4)
+    _, params, _ = _dense_tree(rng, din=256, dout=256)
+    qb0, tb0 = quant.dense_quant_bytes(params)
+    assert qb0 == 0
+    qparams = quant.quantize_dense_tree(params)
+    qb, tb = quant.dense_quant_bytes(qparams)
+    assert qb > 0 and tb < tb0 * 0.3 + 2048  # f32 kernel -> int8 (+scales)
+
+
+def test_cogvideox_dit_quantized_forward():
+    """Tiny DiT: quantized serving output stays close to the bf16 reference;
+    adaLN modulation and adapter branches stay unquantized."""
+    from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+    from motionrag_tpu.models.cogvideox.module import cogvideox_quant_patterns
+
+    model = CogVideoXTransformer3D(
+        in_channels=8, out_channels=4, dim=64, depth=2, heads=4, head_dim=16,
+        text_embed_dim=32, time_embed_dim=32, dtype=jnp.float32,
+        adapter_sites=("transformer_blocks.1",),
+    )
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (1, 2, 8, 8, 8), jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(rng, 1), (1, 7, 32), jnp.float32)
+    action = jax.random.normal(jax.random.fold_in(rng, 2), (1, 5, 64), jnp.float32)
+    t = jnp.array([10])
+    params = model.init(jax.random.fold_in(rng, 3), x, text, t, action_emb=action)
+
+    include, exclude = cogvideox_quant_patterns()
+    qparams = quant.quantize_dense_tree(params, include, exclude)
+
+    blk = qparams["params"]["transformer_blocks_0"]
+    assert blk["to_q"]["kernel"].dtype == jnp.int8
+    assert blk["ff_in"]["kernel"].dtype == jnp.int8
+    assert blk["norm1_linear"]["kernel"].dtype != jnp.int8
+    adapter = qparams["params"]["transformer_blocks_1"]
+    assert adapter["to_q_ip"]["kernel"].dtype != jnp.int8
+
+    exact = model.apply(params, x, text, t, action_emb=action)
+    with quant.quantized_calls():
+        approx = model.apply(qparams, x, text, t, action_emb=action)
+    assert np.isfinite(np.asarray(approx)).all()
+    err = np.linalg.norm(np.asarray(approx - exact)) / np.linalg.norm(np.asarray(exact))
+    assert err < 0.1, err
+
+
+def test_lowmem_blockwise_quantize_matches():
+    """quantize_dense_tree_lowmem: same result tree as the one-shot
+    transform; source buffers are deleted."""
+    from motionrag_tpu.models.cogvideox.dit import CogVideoXBlock
+
+    blk = CogVideoXBlock(dim=32, heads=2, head_dim=16, time_embed_dim=16,
+                         dtype=jnp.float32)
+    rng = jax.random.PRNGKey(7)
+    h = jax.random.normal(rng, (1, 6, 32), jnp.float32)
+    e = jax.random.normal(jax.random.fold_in(rng, 1), (1, 3, 32), jnp.float32)
+    temb = jax.random.normal(jax.random.fold_in(rng, 2), (1, 16), jnp.float32)
+    params = blk.init(jax.random.fold_in(rng, 3), h, e, temb)
+    params2 = jax.tree.map(lambda x: x + 0, params)  # independent buffers
+
+    oneshot = quant.quantize_dense_tree(params, include=("*",), exclude=("*.norm1_linear",))
+    lowmem = quant.quantize_dense_tree_lowmem(params2, include=("*",), exclude=("*.norm1_linear",))
+    flat1 = jax.tree_util.tree_leaves_with_path(oneshot)
+    flat2 = {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_leaves_with_path(lowmem)}
+    assert len(flat1) == len(flat2)
+    for p, v in flat1:
+        w = flat2[jax.tree_util.keystr(p)]
+        assert v.dtype == w.dtype, p
+        if v.dtype == jnp.int8:
+            # jit/unjit scale rounding can shift a value at a .5 boundary
+            assert np.abs(np.asarray(v, np.int32) - np.asarray(w, np.int32)).max() <= 1
+        else:
+            np.testing.assert_allclose(
+                np.asarray(v, np.float64), np.asarray(w, np.float64), rtol=1e-5
+            )
+    # source buffers were released
+    assert any(l.is_deleted() for l in jax.tree_util.tree_leaves(params2))
+
+
+def test_quantized_tree_jits():
+    """The transform is pure in the leaves: one jitted launch device-side."""
+    rng = jax.random.PRNGKey(6)
+    _, params, _ = _dense_tree(rng)
+    jitted = jax.jit(quant.quantize_dense_tree, static_argnames=("include", "exclude"))
+    out = jitted(params)
+    assert out["params"]["kernel"].dtype == jnp.int8

@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--steps-per-launch", type=int, default=None,
                     help="segmented-sampler launch size; the tunneled runtime "
                     "kills device programs running >~60s")
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="int8 W8A8 DiT serving (ops/quant.py): 2x MXU rate "
+                    "on v5e, 5.6 GB DiT instead of 11.1 — reported "
+                    "separately, never as the exact-protocol headline")
     args = ap.parse_args()
 
     _start_watchdog(float(os.environ.get("MRT_WATCHDOG_S", 1500)))
@@ -126,7 +130,7 @@ def main():
     # the VAE runs in its own residency windows (encode here, decode phase C)
     pipe = CogVideoXImageToVideoPipeline(
         dit, vae, text_encoder=None, cfg_mode="sequential", dtype=dtype,
-        cache_threshold=args.cache_threshold,
+        cache_threshold=args.cache_threshold, quantize=args.quantize,
     )
     f_lat = (f - 1) // 4 + 1
     vae_params = {"vae": bf16_params(lambda: vae.init(
@@ -165,6 +169,18 @@ def main():
             jnp.zeros((1,), jnp.int32))),
     }
     jax.block_until_ready(params)
+    if args.quantize:
+        # block-wise transform deletes the bf16 buffers as it goes — peak
+        # HBM = bf16 tree + one block, final residency 5.6 GB int8
+        from motionrag_tpu.models.cogvideox.module import cogvideox_quant_patterns
+        from motionrag_tpu.ops.quant import dense_quant_bytes, quantize_dense_tree_lowmem
+
+        include, exclude = cogvideox_quant_patterns()
+        params = {"transformer": quantize_dense_tree_lowmem(
+            params["transformer"], include=include, exclude=exclude)}
+        jax.block_until_ready(params)
+        qb, tb = dense_quant_bytes(params)
+        _tick(f"DiT quantized: {qb/2**30:.2f} GiB int8 of {tb/2**30:.2f} GiB total")
     _tick(f"DiT params ready in {time.time()-t0:.1f}s")
 
     pe = jnp.asarray(prompt_embeds, dtype)
