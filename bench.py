@@ -162,10 +162,13 @@ def bench_dynamicrafter(small: bool):
     else:
         h, w, f, steps = 576, 1024, 16, 30
         # MRT_CACHE_THRESHOLD > 0 measures the opt-in adaptive-caching mode
-        # (models/sampler_cache.py); the default headline stays exact
+        # (models/sampler_cache.py); MRT_QUANTIZE=int8 the W8A8 serving mode
+        # (ops/quant.py); the default headline stays exact bf16
+        env = __import__("os").environ
         module = DynamiCrafterModule(
             dtype=dtype,
-            cache_threshold=float(__import__("os").environ.get("MRT_CACHE_THRESHOLD", 0)),
+            cache_threshold=float(env.get("MRT_CACHE_THRESHOLD", 0)),
+            quantize=env.get("MRT_QUANTIZE") or None,
         )  # DynamiCrafter_1024 scale
 
     batch = {

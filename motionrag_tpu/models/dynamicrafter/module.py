@@ -37,7 +37,25 @@ __all__ = [
     "DynamiCrafterActionModule",
     "DynamiCrafterCTModule",
     "cfg_dropout_bands",
+    "dynamicrafter_quant_patterns",
 ]
+
+
+def dynamicrafter_quant_patterns():
+    """(include, exclude) dotted patterns for int8 serving of the lvdm UNet
+    (``ops/quant.py``): attention/GEGLU/proj Dense kernels quantize;
+    timestep/fs modulation MLPs and the trainable action-adapter branch stay
+    bf16 (quality-critical / trainable). Convs are never quantized (only 2-D
+    kernels transform)."""
+    return (
+        ("*",),
+        (
+            "time_embed",
+            "fps_embedding",
+            "*.emb_proj",
+            "*.to_q_a", "*.to_k_a", "*.to_v_a",
+        ),
+    )
 
 
 def cfg_dropout_bands(rng, b: int, p: float):
@@ -68,6 +86,7 @@ class DynamiCrafterModule:
         frame_stride: int = 10,
         cfg_mode: str = "sequential",
         cache_threshold: float = 0.0,
+        quantize: str | None = None,
         eval_pipeline_call_kwargs: dict | None = None,
         freeze_modules=("vae", "text_encoder", "image_encoder"),
         full_trainable_modules=(),
@@ -91,6 +110,11 @@ class DynamiCrafterModule:
         )
         self.cfg_mode = cfg_mode
         self.cache_threshold = float(cache_threshold)
+        # opt-in int8 W8A8 UNet serving (ops/quant.py): eval-only, the frozen
+        # backbone is quantized once per param tree and cached
+        self.quantize = quantize
+        self._quant_key = None
+        self._quant_cache = None
         self.rand_cond_frame = rand_cond_frame
         self.uncond_prob = uncond_prob
         # token ids of the tokenized empty prompt "" (BOS/EOS + padding for a
@@ -113,7 +137,8 @@ class DynamiCrafterModule:
 
     def build_pipeline(self):
         return DynamiCrafterPipeline(self, cfg_mode=self.cfg_mode,
-                                     cache_threshold=self.cache_threshold)
+                                     cache_threshold=self.cache_threshold,
+                                     quantize=self.quantize)
 
     # -- init --------------------------------------------------------------
 
@@ -249,9 +274,26 @@ class DynamiCrafterModule:
 
     # -- evaluation --------------------------------------------------------
 
+    def _quantized_unet_params(self, tree):
+        """int8 copy of the UNet params, cached by leaf identity (see
+        ``CogVideoX5B._quantized_transformer_params`` for the HBM caveat)."""
+        from motionrag_tpu.ops.quant import quantize_dense_tree
+
+        leaves = jax.tree_util.tree_leaves(tree)
+        key = (len(leaves), id(leaves[0]) if leaves else 0)
+        if self._quant_key != key:
+            include, exclude = dynamicrafter_quant_patterns()
+            self._quant_cache = jax.jit(
+                quantize_dense_tree, static_argnames=("include", "exclude")
+            )(tree, include=include, exclude=exclude)
+            self._quant_key = key
+        return self._quant_cache
+
     def eval_pipeline(self, params, batch: dict, rng: jax.Array, **kwargs):
         call_kwargs = dict(self.eval_pipeline_call_kwargs)
         call_kwargs.update(kwargs)
+        if self.quantize:
+            params = {**params, "unet": self._quantized_unet_params(params["unet"])}
         frames = self.pipe(params, batch, rng, **call_kwargs)
         return frames[:, :16]
 

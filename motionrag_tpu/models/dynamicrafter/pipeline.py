@@ -24,7 +24,7 @@ __all__ = ["DynamiCrafterPipeline", "DynamiCrafterPipelineRef"]
 
 class DynamiCrafterPipeline:
     def __init__(self, module, cfg_mode: str = "sequential",
-                 cache_threshold: float = 0.0):
+                 cache_threshold: float = 0.0, quantize: str | None = None):
         self.module = module
         # 'batched' = reference-style 2x batch per step (ddim.py:218-237);
         # 'sequential' = two half-batch UNet calls, identical math, half the
@@ -32,6 +32,19 @@ class DynamiCrafterPipeline:
         self.cfg_mode = cfg_mode
         # opt-in adaptive output caching (models/sampler_cache.py); 0 = exact
         self.cache_threshold = float(cache_threshold)
+        # opt-in int8 W8A8 UNet serving (ops/quant.py): expects params["unet"]
+        # pre-transformed by quantize_dense_tree
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = quantize
+
+    def _unet_apply(self, variables, *args, **kwargs):
+        if self.quantize:
+            from motionrag_tpu.ops.quant import quantized_calls
+
+            with quantized_calls():
+                return self.module.unet.apply(variables, *args, **kwargs)
+        return self.module.unet.apply(variables, *args, **kwargs)
 
     @functools.partial(jax.jit, static_argnames=("self", "num_frames"))
     def _conditioning(self, params, video, prompt_ids, neg_ids, num_frames: int):
@@ -78,7 +91,7 @@ class DynamiCrafterPipeline:
             unet_in = jnp.concatenate(
                 [x.astype(module.dtype), c_concat.astype(module.dtype)], axis=-1
             )
-            return module.unet.apply(
+            return self._unet_apply(
                 params["unet"], unet_in, jnp.broadcast_to(t, (b,)), ctx, fs=fs
             )
 
@@ -95,7 +108,7 @@ class DynamiCrafterPipeline:
                     c, u = ctx_cond.get(key), ctx_uncond.get(key)
                     ctx2[key] = None if c is None else jnp.concatenate([c, u], axis=0)
                 fs2 = jnp.concatenate([fs, fs], axis=0)
-                pred = module.unet.apply(
+                pred = self._unet_apply(
                     params["unet"], unet_in, jnp.broadcast_to(t, (2 * b,)), ctx2, fs=fs2
                 )
                 return pred[:b], pred[b:]

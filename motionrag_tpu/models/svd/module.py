@@ -33,7 +33,23 @@ from motionrag_tpu.models.svd.pipeline import (
 from motionrag_tpu.models.svd.unet import SVD_ADAPTER_SITES, UNetSpatioTemporal
 from motionrag_tpu.models.svd.vae import AutoencoderKLTemporalDecoder
 
-__all__ = ["SVDModule", "SVDActionModule", "SVDCTModule"]
+__all__ = ["SVDModule", "SVDActionModule", "SVDCTModule", "svd_quant_patterns"]
+
+
+def svd_quant_patterns():
+    """(include, exclude) dotted patterns for int8 serving of the SVD UNet
+    (``ops/quant.py``): attention/GEGLU/proj Dense kernels quantize;
+    timestep/added-time embedding MLPs (``TimestepEmbedding`` linear_1/2),
+    per-ResBlock modulation, and the trainable Motion-Adapter branch stay
+    bf16. Convs never quantize (only 2-D kernels transform)."""
+    return (
+        ("*",),
+        (
+            "*.linear_1", "*.linear_2",
+            "*.time_emb_proj",
+            "*.processor",
+        ),
+    )
 
 
 def log_normal(rng, shape, mean, std):
@@ -51,6 +67,7 @@ class SVDModule:
         eval_pipeline_call_kwargs: dict | None = None,
         freeze_modules=("image_encoder", "vae", "unet"),
         cache_threshold: float = 0.0,
+        quantize: str | None = None,
         full_trainable_modules=(),
         lora_trainable_modules=(),
         lora_rank: int = 64,
@@ -68,13 +85,19 @@ class SVDModule:
         self.lora_rank = lora_rank
         self.dtype = dtype
         self.cache_threshold = float(cache_threshold)
+        # opt-in int8 W8A8 UNet serving (ops/quant.py): eval-only, quantized
+        # once per param tree and cached
+        self.quantize = quantize
+        self._quant_key = None
+        self._quant_cache = None
         self.pipe = self.build_pipeline()
 
     # -- construction ------------------------------------------------------
 
     def build_pipeline(self) -> SVDPipeline:
         return SVDPipeline(self.unet, self.vae, self.image_encoder, self.dtype,
-                           cache_threshold=self.cache_threshold)
+                           cache_threshold=self.cache_threshold,
+                           quantize=self.quantize)
 
     def extra_param_inits(self, rng, batch) -> dict:
         return {}
@@ -150,9 +173,26 @@ class SVDModule:
 
     # -- evaluation --------------------------------------------------------
 
+    def _quantized_unet_params(self, tree):
+        """int8 copy of the UNet params, cached by leaf identity (see
+        ``CogVideoX5B._quantized_transformer_params`` for the HBM caveat)."""
+        from motionrag_tpu.ops.quant import quantize_dense_tree
+
+        leaves = jax.tree_util.tree_leaves(tree)
+        key = (len(leaves), id(leaves[0]) if leaves else 0)
+        if self._quant_key != key:
+            include, exclude = svd_quant_patterns()
+            self._quant_cache = jax.jit(
+                quantize_dense_tree, static_argnames=("include", "exclude")
+            )(tree, include=include, exclude=exclude)
+            self._quant_key = key
+        return self._quant_cache
+
     def eval_pipeline(self, params, batch: dict, rng: jax.Array, **kwargs) -> jnp.ndarray:
         call_kwargs = dict(self.eval_pipeline_call_kwargs)
         call_kwargs.update(kwargs)
+        if self.quantize:
+            params = {**params, "unet": self._quantized_unet_params(params["unet"])}
         image = jnp.asarray(batch["video"])[:, 0]
         frames = self.pipe(
             params, image, rng,
@@ -194,7 +234,7 @@ class SVDActionModule(SVDModule):
         return SVDActionPipeline(
             self.unet, self.vae, self.image_encoder,
             self.action_embedder, self.action_proj_model, self.ref_fusion_type, self.dtype,
-            cache_threshold=self.cache_threshold,
+            cache_threshold=self.cache_threshold, quantize=self.quantize,
         )
 
     def template_action_emb(self, b):
@@ -240,7 +280,7 @@ class SVDCTModule(SVDActionModule):
     def build_pipeline(self):
         return SVDCTPipeline(
             self.unet, self.vae, self.image_encoder, self.condition_transformer, self.dtype,
-            cache_threshold=self.cache_threshold,
+            cache_threshold=self.cache_threshold, quantize=self.quantize,
         )
 
     def template_action_emb(self, b):

@@ -46,7 +46,8 @@ class SVDPipeline:
     passed per call (pure-functional, trainer-owned)."""
 
     def __init__(self, unet, vae, image_encoder, dtype=jnp.bfloat16,
-                 cfg_mode: str = "sequential", cache_threshold: float = 0.0):
+                 cfg_mode: str = "sequential", cache_threshold: float = 0.0,
+                 quantize: str | None = None):
         self.unet = unet
         self.vae = vae
         self.image_encoder = image_encoder
@@ -56,6 +57,19 @@ class SVDPipeline:
         self.cfg_mode = cfg_mode
         # opt-in adaptive output caching (models/sampler_cache.py); 0 = exact
         self.cache_threshold = float(cache_threshold)
+        # opt-in int8 W8A8 UNet serving (ops/quant.py): expects params["unet"]
+        # pre-transformed by quantize_dense_tree
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = quantize
+
+    def _unet_apply(self, variables, *args, **kwargs):
+        if self.quantize:
+            from motionrag_tpu.ops.quant import quantized_calls
+
+            with quantized_calls():
+                return self.unet.apply(variables, *args, **kwargs)
+        return self.unet.apply(variables, *args, **kwargs)
 
     # -- conditioning ------------------------------------------------------
 
@@ -108,7 +122,7 @@ class SVDPipeline:
                 img_lat[:, None], (b, num_frames) + img_lat.shape[1:]
             )
             unet_in = jnp.concatenate([x_scaled, cond.astype(x_scaled.dtype)], axis=-1)
-            return self.unet.apply(
+            return self._unet_apply(
                 params["unet"], unet_in, c_noise, emb, ids, action_emb=action
             )
 

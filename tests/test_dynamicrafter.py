@@ -146,6 +146,28 @@ def test_dynamicrafter_pipeline(dc_setup):
     assert np.isfinite(np.asarray(frames)).all()
 
 
+def test_dynamicrafter_quantized_eval_pipeline(dc_setup):
+    """quantize='int8' UNet serving: same trajectory shape, close output,
+    modulation MLPs left unquantized."""
+    module, params, batch = dc_setup
+    qmodule = tiny_module(quantize="int8")
+    kw = dict(num_frames=4, height=32, width=32, ddim_steps=2)
+    exact = module.eval_pipeline(params, batch, jax.random.key(2), **kw)
+    approx = qmodule.eval_pipeline(params, batch, jax.random.key(2), **kw)
+    assert approx.shape == exact.shape
+    assert np.isfinite(np.asarray(approx)).all()
+    qtree = qmodule._quant_cache["params"]
+    # attention kernels quantized, timestep modulation not
+    flat = jax.tree_util.tree_leaves_with_path(qtree)
+    keys = {jax.tree_util.keystr(p): v for p, v in flat}
+    assert any(k.endswith("['kernel_scale']") for k in keys)
+    assert not any("emb_proj" in k and v.dtype == jnp.int8 for k, v in keys.items())
+    assert not any("time_embed" in k and v.dtype == jnp.int8 for k, v in keys.items())
+    a, e = np.asarray(approx, np.float64).ravel(), np.asarray(exact, np.float64).ravel()
+    corr = np.corrcoef(a, e)[0, 1]
+    assert corr > 0.95, corr
+
+
 def test_dynamicrafter_action_module():
     module = tiny_module(
         DynamiCrafterActionModule,

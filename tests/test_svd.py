@@ -116,6 +116,29 @@ def test_svd_eval_pipeline_contract(svd_setup):
     assert np.isfinite(arr).all()
 
 
+def test_svd_quantized_eval_pipeline(svd_setup):
+    """quantize='int8' UNet serving: finite, close trajectory; timestep
+    embedding MLPs stay unquantized."""
+    module, params, batch = svd_setup
+    qmodule = tiny_module(quantize="int8")
+    kw = dict(num_frames=4, height=64, width=64, num_inference_steps=2,
+              decode_chunk_size=2)
+    exact = module.eval_pipeline(params, batch, jax.random.key(2), **kw)
+    approx = qmodule.eval_pipeline(params, batch, jax.random.key(2), **kw)
+    assert approx.shape == exact.shape
+    assert np.isfinite(np.asarray(approx)).all()
+    keys = {jax.tree_util.keystr(p): v for p, v in
+            jax.tree_util.tree_leaves_with_path(qmodule._quant_cache)}
+    assert any(k.endswith("['kernel_scale']") for k in keys)
+    assert not any(
+        ("linear_1" in k or "linear_2" in k or "time_emb_proj" in k)
+        and v.dtype == jnp.int8 for k, v in keys.items()
+    )
+    a, e = np.asarray(approx, np.float64).ravel(), np.asarray(exact, np.float64).ravel()
+    corr = np.corrcoef(a, e)[0, 1]
+    assert corr > 0.95, corr
+
+
 def test_svd_action_module_loss():
     module = tiny_module(
         SVDActionModule,

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--cfg-mode", default="sequential", choices=["sequential", "batched"])
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="int8 W8A8 UNet serving (ops/quant.py) — reported "
+                    "separately, never as the exact-protocol headline")
+    ap.add_argument("--cache-threshold", type=float, default=0.0,
+                    help="adaptive output caching; 0 = exact protocol")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +66,10 @@ def main():
         )
     else:
         h, w, f, steps = 576, 1024, 16, args.steps
-        module = DynamiCrafterModule(dtype=dtype, cfg_mode=args.cfg_mode)  # DynamiCrafter_1024 scale
+        module = DynamiCrafterModule(  # DynamiCrafter_1024 scale
+            dtype=dtype, cfg_mode=args.cfg_mode, quantize=args.quantize,
+            cache_threshold=args.cache_threshold,
+        )
 
     batch = {
         "video": jnp.zeros((1, f, 3, h, w), dtype),
@@ -99,8 +107,13 @@ def main():
         run(i)
         times.append(time.time() - t0)
     best = min(times)
+    mode = ""
+    if args.quantize:
+        mode += f" [{args.quantize} serving]"
+    if args.cache_threshold:
+        mode += f" [cache_threshold={args.cache_threshold}]"
     print(json.dumps({
-        "metric": "DynamiCrafter 16f 1024x576 30-step s/video",
+        "metric": "DynamiCrafter 16f 1024x576 30-step s/video" + mode,
         "value": round(best, 2),
         "unit": "s/video",
         "vs_baseline": round(87.6 / best, 3),
