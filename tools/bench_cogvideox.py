@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--steps-per-launch", type=int, default=None,
                     help="segmented-sampler launch size; the tunneled runtime "
                     "kills device programs running >~60s")
+    ap.add_argument("--cfg-mode", default="sequential",
+                    choices=["sequential", "batched"],
+                    help="batched CFG needs the int8 DiT (5.6 GB) to fit "
+                    "2x activations in 16 GB HBM at 49f")
     ap.add_argument("--quantize", choices=["int8"], default=None,
                     help="int8 W8A8 DiT serving (ops/quant.py): 2x MXU rate "
                     "on v5e, 5.6 GB DiT instead of 11.1 — reported "
@@ -129,7 +133,7 @@ def main():
     # at 49f the 11.1 GB DiT + 17.8k-token activations need every spare GB;
     # the VAE runs in its own residency windows (encode here, decode phase C)
     pipe = CogVideoXImageToVideoPipeline(
-        dit, vae, text_encoder=None, cfg_mode="sequential", dtype=dtype,
+        dit, vae, text_encoder=None, cfg_mode=args.cfg_mode, dtype=dtype,
         cache_threshold=args.cache_threshold, quantize=args.quantize,
     )
     f_lat = (f - 1) // 4 + 1
