@@ -337,7 +337,13 @@ class Trainer:
         epoch = 0
         batch_in_epoch = 1  # first_batch already drawn
         t0 = time.time()
-        while int(jax.device_get(state.step)) < self.max_steps:
+        # the step counter is tracked host-side: a per-step
+        # jax.device_get(state.step) would force a host<->device sync every
+        # iteration (serializing the async dispatch pipeline and paying a
+        # full RPC round-trip per step on remote runtimes); the device only
+        # syncs at log/checkpoint/val cadence
+        step = int(jax.device_get(state.step))
+        while step < self.max_steps:
             for cb in self.callbacks:
                 if hasattr(cb, "on_train_batch_start"):
                     cb.on_train_batch_start(self, module, batch)
@@ -353,7 +359,7 @@ class Trainer:
             # against it; explicit NamedShardings are unaffected
             with self.mesh:
                 state, metrics = train_step(state, jit_batch)
-            step = int(jax.device_get(state.step))
+            step += 1
 
             if step % self.log_every_n_steps == 0:
                 host_metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
