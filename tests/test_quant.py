@@ -159,6 +159,49 @@ def test_lowmem_blockwise_quantize_matches():
     assert any(l.is_deleted() for l in jax.tree_util.tree_leaves(params2))
 
 
+def test_quantize_checkpoint_tool(tmp_path):
+    """tools/quantize_checkpoint.py: Orbax ckpt -> int8 Orbax ckpt that the
+    quantized pipeline serves directly (no startup transform)."""
+    import subprocess
+    import sys
+
+    from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+    from motionrag_tpu.training.checkpoints import restore_checkpoint, save_checkpoint
+
+    model = CogVideoXTransformer3D(
+        in_channels=8, out_channels=4, dim=64, depth=2, heads=4, head_dim=16,
+        text_embed_dim=32, time_embed_dim=32, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(8)
+    x = jax.random.normal(rng, (1, 2, 8, 8, 8), jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(rng, 1), (1, 7, 32), jnp.float32)
+    t = jnp.array([3])
+    params = model.init(jax.random.fold_in(rng, 2), x, text, t)
+    save_checkpoint(tmp_path / "src", {"transformer": params})
+
+    out = subprocess.run(
+        [sys.executable, "tools/quantize_checkpoint.py",
+         "--ckpt", str(tmp_path / "src"), "--out", str(tmp_path / "dst"),
+         "--family", "cogvideox"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "quantized" in out.stderr
+    assert "no kernels matched" not in out.stderr
+
+    restored = restore_checkpoint(tmp_path / "dst")
+    qp = restored["transformer"]
+    blk = qp["params"]["transformer_blocks_0"]
+    assert np.asarray(blk["to_q"]["kernel"]).dtype == np.int8
+    assert np.asarray(blk["norm1_linear"]["kernel"]).dtype != np.int8
+    # the quantized artifact serves directly under quantized_calls
+    exact = model.apply(params, x, text, t)
+    with quant.quantized_calls():
+        served = model.apply(jax.tree.map(jnp.asarray, qp), x, text, t)
+    err = np.linalg.norm(np.asarray(served - exact)) / np.linalg.norm(np.asarray(exact))
+    assert err < 0.1, err
+
+
 def test_quantized_tree_jits():
     """The transform is pure in the leaves: one jitted launch device-side."""
     rng = jax.random.PRNGKey(6)
