@@ -202,6 +202,22 @@ def test_quantize_checkpoint_tool(tmp_path):
     assert err < 0.1, err
 
 
+def test_int8_dot_reaches_compiler():
+    """The quantized Dense must lower to an s8 x s8 -> s32 dot in the HLO —
+    a silent float upcast would forfeit the 2x MXU int8 rate."""
+    rng = jax.random.PRNGKey(9)
+    mod, params, x = _dense_tree(rng)
+    qparams = quant.quantize_dense_tree(params)
+
+    def fn(p, x):
+        with quant.quantized_calls():
+            return mod.apply(p, x)
+
+    hlo = jax.jit(fn).lower(qparams, x).as_text()
+    dot_lines = [l for l in hlo.splitlines() if "dot_general" in l]
+    assert any("xi8>" in l and "xi32>" in l for l in dot_lines), dot_lines
+
+
 def test_quantized_tree_jits():
     """The transform is pure in the leaves: one jitted launch device-side."""
     rng = jax.random.PRNGKey(6)
