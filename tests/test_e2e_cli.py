@@ -239,6 +239,72 @@ def test_cli_fit_then_test_dynamicrafter(workspace):
     _run_fit_and_test(workspace, "dc", config)
 
 
+@pytest.mark.slow
+def test_cli_fit_then_eval_motion_transformer(workspace):
+    """Stage-2 CAMA training (reference configs/motion_transformer/*,
+    SURVEY §3.2) through the full CLI: fit on RAG-retrieved refs, then the
+    loss-based eval path (no eval_pipeline on the module)."""
+    import yaml
+
+    enc = {"num_frames": 4, "image_size": 32, "dim": 32, "depth": 1,
+           "heads": 2, "dtype": "float32"}
+    rs = lambda ed: {"class_path": "motionrag_tpu.models.resampler.Resampler",
+                     "init_args": {"dim": 32, "depth": 1, "dim_head": 8,
+                                   "heads": 4, "num_queries": 3,
+                                   "embedding_dim": ed, "output_dim": 32,
+                                   "dtype": "float32"}}
+    model = {
+        "class_path": "motionrag_tpu.models.cama_module.ActionTransformerModule",
+        "init_args": {
+            "full_trainable_modules": ["transformer", "condition_proj"],
+            "freeze_modules": ["condition_model", "vision_model", "vision_proj"],
+            "condition_transformer": {
+                "class_path": "motionrag_tpu.models.cama.ActionTransformer",
+                "init_args": {
+                    "vision_model": {
+                        "class_path": "motionrag_tpu.models.encoders.condition.VideoMAEEmbedder",
+                        "init_args": enc},
+                    "vision_proj": rs(32),
+                    "condition_model": {
+                        "class_path": "motionrag_tpu.models.encoders.condition.DINOImageEmbedder",
+                        "init_args": {"image_size": 28, "dim": 32, "depth": 1,
+                                      "heads": 2, "dtype": "float32"}},
+                    "condition_proj": rs(32),
+                    "condition_pe": {
+                        "class_path": "motionrag_tpu.models.cama.SinusoidPositionalEmbeddings",
+                        "init_args": {"dim": 32, "max_length": 256}},
+                    "vision_pe": {
+                        "class_path": "motionrag_tpu.models.cama.SinusoidPositionalEmbeddings",
+                        "init_args": {"dim": 32, "max_length": 64}},
+                    "transformer": {
+                        "class_path": "motionrag_tpu.models.layers.TransformerEncoder",
+                        "init_args": {"num_layers": 1, "d_model": 32, "nhead": 4,
+                                      "dim_feedforward": 64, "activation": "gelu",
+                                      "norm_first": False}},
+                },
+            },
+        },
+    }
+    config = _base_config(workspace, "mt", 4, model)
+    # stage-2 trains on RAG-retrieved reference videos
+    cfg = yaml.safe_load(config.read_text())
+    cfg["data"]["init_args"].update(
+        ref_video_type="rag_text", ref_video_num=2, rag_prompt_type="motion",
+        rag_db_path=str(workspace / "rag_db"), rag_table_name="motion_caption",
+        text_embedder="hash-32",
+    )
+    config.write_text(yaml.safe_dump(cfg))
+
+    from main import cli_main
+
+    model_obj, data, trainer, ckpt = cli_main(["fit", "-c", str(config)], run=False)
+    state = trainer.fit(model_obj, data, ckpt_path=ckpt)
+    assert int(np.asarray(state.step)) == 2
+    results = trainer._eval_loop(model_obj, state, data, "test", limit=1)
+    assert np.isfinite(results["test/loss"])
+    assert "val/main_loss" in results
+
+
 def _tiny_cog_model() -> dict:
     return {
         "class_path": "motionrag_tpu.models.cogvideox.module.CogVideoX5B",
