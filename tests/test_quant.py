@@ -218,6 +218,44 @@ def test_int8_dot_reaches_compiler():
     assert any("xi8>" in l and "xi32>" in l for l in dot_lines), dot_lines
 
 
+def test_quantized_dit_tensor_parallel_equivalence():
+    """int8 serving composes with TP sharding: the quantized DiT forward
+    with params sharded by the tp partition rules equals the unsharded
+    quantized forward (kernel_scale leaves default to replicated)."""
+    from jax.sharding import Mesh
+
+    from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+    from motionrag_tpu.models.cogvideox.module import cogvideox_quant_patterns
+    from motionrag_tpu.parallel.sharding import shard_params
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(devs[:4]), ("tp",))
+
+    dit = CogVideoXTransformer3D(
+        in_channels=8, out_channels=4, dim=32, depth=2, heads=4, head_dim=8,
+        text_embed_dim=16, time_embed_dim=32, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(rng, (1, 2, 8, 8, 8), jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(rng, 1), (1, 6, 16), jnp.float32)
+    t = jnp.asarray([3], jnp.int32)
+    params = dit.init(jax.random.fold_in(rng, 2), x, text, t)
+    include, exclude = cogvideox_quant_patterns()
+    qparams = quant.quantize_dense_tree(params, include, exclude)
+
+    def fwd(p, x, c, t):
+        with quant.quantized_calls():
+            return dit.apply(p, x, c, t)
+
+    ref = fwd(qparams, x, text, t)
+    sharded = shard_params(qparams, CogVideoXTransformer3D.partition_rules(), mesh)
+    with mesh:
+        out = jax.jit(fwd)(sharded, x, text, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
 def test_quantized_tree_jits():
     """The transform is pure in the leaves: one jitted launch device-side."""
     rng = jax.random.PRNGKey(6)
