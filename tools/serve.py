@@ -20,12 +20,16 @@ import argparse
 import base64
 import io
 import json
+import sys
 import tempfile
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+sys.path.insert(0, "/root/repo")
 
-def build_service(config_path: str, ckpt_path: str | None):
+
+def build_service(config_path: str, ckpt_path: str | None,
+                  overrides: list[str] | None = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,7 +38,9 @@ def build_service(config_path: str, ckpt_path: str | None):
     from main import cli_main
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    model, data, trainer, cfg_ckpt = cli_main(["test", "-c", config_path], run=False)
+    model, data, trainer, cfg_ckpt = cli_main(
+        ["test", "-c", config_path, *(overrides or [])], run=False
+    )
     ckpt = ckpt_path or cfg_ckpt
 
     rng = jax.random.key(0)
@@ -98,9 +104,12 @@ def main():
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument("--ckpt_path", default=None)
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="int8 W8A8 backbone serving (ops/quant.py)")
     args = ap.parse_args()
 
-    generate = build_service(args.config, args.ckpt_path)
+    overrides = [f"--model.quantize={args.quantize}"] if args.quantize else []
+    generate = build_service(args.config, args.ckpt_path, overrides)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj: dict):
