@@ -212,6 +212,31 @@ class ConditionTransformer(nn.Module):
             return self.get_loss(pred, vision_emb)
         return jnp.concatenate([vision_emb[:, 0:1], pred], axis=1)
 
+    def autoregressive(self, images, condition, return_loss: bool = False,
+                       num_frames: Optional[int] = None):
+        """Autoregressive rollout (reference ``condition/module.py:177-198``):
+        start from frame 0's embedding and repeatedly re-run the decoder,
+        feeding each iteration's predictions back as the token prefix.
+        Shapes grow per iteration, so each rollout length compiles once —
+        fine for the <=250-token CT sequences this serves (eval/analysis)."""
+        t = images.shape[1] if num_frames is None else num_frames
+        vision_emb = self.encode_vision(images)
+        condition_emb = self.encode_condition(condition)
+        b, _, frame_tokens, d = vision_emb.shape
+
+        x = x_0 = vision_emb[:, 0]
+        for i in range(1, t):
+            mask = block_causal_mask(i, frame_tokens)
+            x = jnp.concatenate([x_0, x], axis=1) if i > 1 else x
+            if self.vision_pe is not None:
+                x = self.vision_pe(x)
+            x = self.transformer(x, condition_emb, tgt_mask=mask)
+
+        x = x.reshape(b, t - 1, frame_tokens, d)
+        if return_loss:
+            return self.get_loss(x, vision_emb)
+        return jnp.concatenate([vision_emb[:, 0:1], x], axis=1)
+
 
 class SkillTransformer(ConditionTransformer):
     """Skill-step variant: per-step prompts, context-weighted loss
