@@ -72,7 +72,9 @@ def bench_svd(small: bool):
         vae = AutoencoderKLTemporalDecoder(dtype=dtype)
         clip = CLIPImageEmbedder(dtype=dtype)  # ViT-H/14
 
-    pipe = SVDPipeline(unet, vae, clip, dtype=dtype)
+    # MRT_QUANTIZE=int8 measures the opt-in W8A8 serving mode (ops/quant.py)
+    quantize = __import__("os").environ.get("MRT_QUANTIZE") or None
+    pipe = SVDPipeline(unet, vae, clip, dtype=dtype, quantize=quantize)
 
     b = 1
     image = jnp.zeros((b, 3, height, width), dtype)
@@ -94,6 +96,14 @@ def bench_svd(small: bool):
     # sampler activations exceeds 16 GB HBM
     params = make_params_from_shapes(init_all, dtype=jnp.bfloat16)
     jax.block_until_ready(params)
+    if quantize:
+        from motionrag_tpu.models.svd.module import svd_quant_patterns
+        from motionrag_tpu.ops.quant import quantize_dense_tree_lowmem
+
+        include, exclude = svd_quant_patterns()
+        params["unet"] = quantize_dense_tree_lowmem(
+            params["unet"], include=include, exclude=exclude)
+        jax.block_until_ready(params)
     init_s = time.time() - t0
 
     # Timing through the axon tunnel: block_until_ready can return before the
