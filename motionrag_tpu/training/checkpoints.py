@@ -17,12 +17,22 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "save_incremental", "restore_checkpoint", "restore_into"]
+__all__ = [
+    "save_checkpoint",
+    "save_incremental",
+    "restore_checkpoint",
+    "restore_into",
+    "merge_into",
+    "mask_filter",
+]
 
 
-def _mask_filter(params, mask):
+def mask_filter(params, mask):
     """Replace non-trainable leaves with None (dropped by orbax)."""
     return jax.tree.map(lambda p, m: p if m else None, params, mask)
+
+
+_mask_filter = mask_filter  # backward-compat alias
 
 
 def save_checkpoint(path: str | Path, tree: Any) -> None:
@@ -44,10 +54,13 @@ def restore_checkpoint(path: str | Path, template: Any | None = None) -> Any:
         return ckptr.restore(path, template)
 
 
-def restore_into(path: str | Path, params: Any) -> Any:
-    """strict=False load: leaves present in the checkpoint override the
-    given tree; missing leaves keep their current values."""
-    restored = restore_checkpoint(path)
+def merge_into(params: Any, restored: Any) -> Any:
+    """strict=False merge: leaves present in the (possibly pruned)
+    checkpoint tree override the given tree; missing leaves keep their
+    current values. Full-train-state checkpoints (trainer.save_checkpoint:
+    ``{params, opt_state, step, rng}``) contribute their params subtree."""
+    if isinstance(restored, dict) and "opt_state" in restored and "params" in restored:
+        restored = restored["params"]
 
     def merge(full, part):
         if isinstance(part, dict) and isinstance(full, dict):
@@ -55,3 +68,8 @@ def restore_into(path: str | Path, params: Any) -> Any:
         return full if part is None else part
 
     return merge(params, restored)
+
+
+def restore_into(path: str | Path, params: Any) -> Any:
+    """strict=False load from ``path`` (see :func:`merge_into`)."""
+    return merge_into(params, restore_checkpoint(path))

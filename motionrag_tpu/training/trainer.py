@@ -213,8 +213,18 @@ class Trainer:
                     f"lora_trainable_modules {lora_patterns} matched no 2D kernels"
                 )
             params = dict(params, lora=lora_tree)
+        # full-state checkpoints (step/opt_state/rng alongside params) resume
+        # training exactly (Lightning resume semantics); params-only
+        # checkpoints (incl. released incremental adapter files) merge into
+        # the fresh tree with strict=False semantics
+        resume_extras = None
         if ckpt_path:
-            params = ckpt_lib.restore_into(ckpt_path, params)
+            raw = ckpt_lib.restore_checkpoint(ckpt_path)
+            if isinstance(raw, dict) and "opt_state" in raw and "params" in raw:
+                resume_extras = raw  # structure recovered via template below
+                params = ckpt_lib.merge_into(params, raw["params"])
+            else:
+                params = ckpt_lib.merge_into(params, raw)
         trainable_patterns = list(module.trainable_patterns)
         if lora_patterns:
             trainable_patterns.append("lora")
@@ -237,9 +247,25 @@ class Trainer:
         shardings = self._param_shardings(params)
         params = jax.tree.map(jax.device_put, params, shardings)
         opt_state = self.tx.init(params)
+        step0 = jnp.zeros((), jnp.int32)
+        if resume_extras is not None:
+            # re-restore with the live opt_state as template so optax's
+            # namedtuple/MaskedNode structure comes back intact
+            full = ckpt_lib.restore_checkpoint(ckpt_path, {
+                "params": jax.device_get(resume_extras["params"]),
+                "opt_state": jax.device_get(opt_state),
+                "step": np.zeros((), np.int32),
+                "rng": np.zeros_like(jax.random.key_data(rng)),
+            })
+            opt_state = jax.tree.map(
+                lambda x: self._replicate(jnp.asarray(x)), full["opt_state"]
+            )
+            step0 = jnp.asarray(full["step"], jnp.int32)
+            rng = jax.random.wrap_key_data(jnp.asarray(full["rng"]))
+            print(f"resumed full train state at step {int(full['step'])}", flush=True)
         ema = ema_init(params) if self.use_ema else None
         state = TrainState(
-            step=self._replicate(jnp.zeros((), jnp.int32)),
+            step=self._replicate(step0),
             params=params,
             opt_state=opt_state,
             ema_params=ema,
@@ -480,10 +506,21 @@ class Trainer:
     # -- checkpointing -----------------------------------------------------
 
     def save_checkpoint(self, state: TrainState, step: int):
+        """Full-resume checkpoints (Lightning semantics: optimizer state +
+        global step ride along, reference ModelCheckpoint). In incremental
+        mode the params subtree is trainable-only (reference
+        IncrementalCheckpoint, ``training.py:75-97``) — the optimizer state
+        is small regardless, since optax only materializes moments for
+        trainable leaves."""
         path = self.root_dir / "checkpoints" / f"step_{step:08d}"
         params = jax.device_get(state.params)
         if self.incremental_checkpoint:
-            ckpt_lib.save_incremental(path, params, self.mask)
-        else:
-            ckpt_lib.save_checkpoint(path, params)
+            params = ckpt_lib.mask_filter(params, self.mask)
+        tree = {
+            "params": params,
+            "opt_state": jax.device_get(state.opt_state),
+            "step": np.asarray(step, np.int32),
+            "rng": jax.device_get(jax.random.key_data(state.rng)),
+        }
+        ckpt_lib.save_checkpoint(path, tree)
         print(f"saved checkpoint: {path}", flush=True)

@@ -400,6 +400,58 @@ def test_fast_dev_run_and_checkpointing_off(tmp_path):
     assert not (tmp_path / "nockpt" / "checkpoints").exists()
 
 
+def test_full_state_resume_matches_uninterrupted(tmp_path):
+    """fit(ckpt_path=...) resumes step count, optimizer moments, and the rng
+    stream (Lightning resume semantics): 2 steps + save + resume 2 steps
+    must equal one uninterrupted 4-step run bit-for-bit. A varying batch
+    sequence makes stale Adam moments observable."""
+    batches = [{"g": np.full((2, 4), s, np.float32)} for s in (1.0, -2.0, 3.0, 0.5)]
+
+    def fit(tag, max_steps, ckpt_path=None):
+        trainer = _mk_trainer(tmp_path, tag, max_steps=max_steps,
+                              checkpoint_every_n_steps=2)
+        offset = 0 if ckpt_path is None else 2
+        state = trainer.fit(
+            _LinearModule(), _GradDataModule(batches=batches[offset:]),
+            ckpt_path=ckpt_path,
+        )
+        return trainer, state
+
+    _, ref_state = fit("straight", max_steps=4)
+    trainer_a, state_a = fit("part1", max_steps=2)
+    ckpt = tmp_path / "part1" / "checkpoints" / "step_00000002"
+    assert ckpt.exists()
+    _, state_b = fit("part2", max_steps=4, ckpt_path=str(ckpt))
+
+    assert int(jax.device_get(state_b.step)) == 4
+    w_ref = np.asarray(jax.device_get(ref_state.params["w"]["params"]["kernel"]))
+    w_res = np.asarray(jax.device_get(state_b.params["w"]["params"]["kernel"]))
+    np.testing.assert_array_equal(w_res, w_ref)
+    # resumed mid-run differs from a fresh 2-step run on the tail batches
+    # (i.e. the optimizer moments actually carried over)
+    _, fresh = fit("fresh_tail", max_steps=2)
+    w_interrupted = np.asarray(jax.device_get(state_a.params["w"]["params"]["kernel"]))
+    assert np.abs(w_res - w_interrupted).max() > 0
+
+
+def test_params_only_checkpoint_still_loads(tmp_path):
+    """Released-artifact path: a bare params tree (no opt_state) restores
+    with strict=False merge semantics."""
+    from motionrag_tpu.training.checkpoints import restore_into, save_checkpoint
+
+    tree = {"w": {"params": {"kernel": np.full((4,), 7.0, np.float32)}}}
+    save_checkpoint(tmp_path / "bare", tree)
+    trainer = _mk_trainer(tmp_path, "bare_load", max_steps=1)
+    state = trainer.fit(_LinearModule(), _GradDataModule(n=1),
+                        ckpt_path=str(tmp_path / "bare"))
+    assert int(jax.device_get(state.step)) == 1
+
+    # and the full-state checkpoint works through plain restore_into too
+    full_ckpt = tmp_path / "bare_load" / "checkpoints" / "step_00000001"
+    merged = restore_into(full_ckpt, {"w": {"params": {"kernel": np.zeros(4, np.float32)}}})
+    assert np.abs(merged["w"]["params"]["kernel"]).max() > 0
+
+
 def test_gradient_clip_val_changes_updates(tmp_path):
     """With gradient scales varying across steps, global-norm clipping must
     change the Adam trajectory; an effectively-infinite clip must not."""
