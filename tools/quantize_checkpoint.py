@@ -64,6 +64,10 @@ def main():
     include, exclude = _resolve(patterns_spec)()
 
     tree = restore_checkpoint(args.ckpt)
+    if isinstance(tree, dict) and "opt_state" in tree and "params" in tree:
+        # full-train-state checkpoint (trainer.save_checkpoint): the serving
+        # artifact carries only the model params
+        tree = tree["params"]
     target = tree[subtree] if subtree else tree
     q = quantize_dense_tree(target, include=include, exclude=exclude)
     out_tree = {**tree, subtree: q} if subtree else q
