@@ -257,9 +257,17 @@ class Trainer:
                 "step": np.zeros((), np.int32),
                 "rng": np.zeros_like(jax.random.key_data(rng)),
             })
-            opt_state = jax.tree.map(
-                lambda x: self._replicate(jnp.asarray(x)), full["opt_state"]
-            )
+            def _put_like(x, live):
+                # restored moments take the live opt_state's mesh shardings
+                # (replicated under dp, sharded under fsdp/partition rules);
+                # scalar counters carry SingleDeviceSharding — committing to
+                # one device would clash with the mesh, so replicate those
+                sh = getattr(live, "sharding", None)
+                if isinstance(sh, NamedSharding):
+                    return jax.device_put(jnp.asarray(x), sh)
+                return self._replicate(jnp.asarray(x))
+
+            opt_state = jax.tree.map(_put_like, full["opt_state"], opt_state)
             step0 = jnp.asarray(full["step"], jnp.int32)
             rng = jax.random.wrap_key_data(jnp.asarray(full["rng"]))
             print(f"resumed full train state at step {int(full['step'])}", flush=True)

@@ -256,6 +256,26 @@ def test_trainer_fsdp_param_sharding(tmp_path):
     ]
     assert any("fsdp" in str(s.spec) for s in shardings)
 
+    # full-state resume under fsdp: restored moments re-shard, step carries
+    trainer.save_checkpoint(state, 1)
+    trainer2 = Trainer(
+        max_steps=2,
+        mesh_config=MeshConfig(dp=2, fsdp=2, tp=1, sp=1),
+        optimizer_config={"learning_rate": 1e-3},
+        val_check_interval=0,
+        log_every_n_steps=1,
+        checkpoint_every_n_steps=0,
+        default_root_dir=str(tmp_path / "resume"),
+        param_sharding="fsdp",
+    )
+    module2 = tiny_module()
+    module2.full_trainable_modules = ("unet.conv_out",)
+    state2 = trainer2.fit(
+        module2, ToyDataModule(b=4),
+        ckpt_path=str(tmp_path / "checkpoints" / "step_00000001"),
+    )
+    assert int(jax.device_get(state2.step)) == 2
+
 
 class _LinearModule:
     """Minimal Trainer-protocol module: loss = <w, g> so grad(w) is the
