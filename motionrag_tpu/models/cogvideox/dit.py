@@ -160,6 +160,42 @@ class CogVideoXBlock(nn.Module):
         return hidden, encoder_hidden
 
 
+class _ScanBlockCell(nn.Module):
+    """scan-over-layers cell: carry = (hidden, enc); broadcast args follow.
+
+    Wrapping ``CogVideoXBlock`` (name="block") so the scanned param tree is
+    ``transformer_blocks/block/...`` with a leading depth axis — the exact
+    stacked layout ``parallel/pipeline.py`` consumes."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    time_embed_dim: int
+    ff_mult: int
+    with_adapter: bool
+    adapter_scale: float
+    dtype: jnp.dtype
+    sequence_parallel: bool
+    remat: bool
+
+    @nn.compact
+    def __call__(self, carry, temb, rope, action_emb):
+        hidden, enc = carry
+        cls = CogVideoXBlock
+        if self.remat:
+            cls = nn.remat(CogVideoXBlock, prevent_cse=False)
+        hidden, enc = cls(
+            self.dim, self.heads, self.head_dim, self.time_embed_dim,
+            self.ff_mult,
+            with_adapter=self.with_adapter,
+            adapter_scale=self.adapter_scale,
+            dtype=self.dtype,
+            sequence_parallel=self.sequence_parallel,
+            name="block",
+        )(hidden, enc, temb, rope, action_emb)
+        return (hidden, enc), None
+
+
 class CogVideoXTransformer3D(nn.Module):
     """Inputs: video latents [b, f_lat, h_lat, w_lat, in_channels] (NHWC),
     text embeddings [b, s_text, text_embed_dim], timestep [b]."""
@@ -183,6 +219,19 @@ class CogVideoXTransformer3D(nn.Module):
     # with the flash q-seq partitioning rule this yields all-gather-KV
     # sequence parallelism through every block
     sequence_parallel: bool = False
+    # compile the depth-42 stack as ONE nn.scan'd block instead of 42
+    # unrolled copies: ~depth-x smaller HLO (compile time) and a stacked
+    # [depth, ...] param layout that parallel/pipeline.py pipelines over a
+    # 'pp' mesh axis. Requires uniform blocks (adapters on all or none —
+    # the flagship config adapts all 42). Param layout differs from the
+    # unrolled loop; convert with stack_block_params / unstack_block_params.
+    scan_blocks: bool = False
+    # with scan_blocks: when the ambient mesh has a 'pp' axis of size > 1,
+    # run the block stack as a GPipe pipeline (parallel/pipeline.py) with
+    # this many microbatches (batch must divide). 0 = plain nn.scan. The
+    # param layout is identical either way, so the same checkpoint serves
+    # both execution modes.
+    pipeline_microbatches: int = 0
 
     @nn.compact
     def __call__(
@@ -223,21 +272,57 @@ class CogVideoXTransformer3D(nn.Module):
             if site.startswith("transformer_blocks.")
         }
 
-        block_cls = CogVideoXBlock
-        if self.remat:
-            block_cls = nn.remat(CogVideoXBlock, static_argnums=())
-
         hidden, enc = x, text
-        for i in range(self.depth):
-            hidden, enc = block_cls(
-                self.dim, self.heads, self.head_dim, self.time_embed_dim,
-                self.ff_mult,
-                with_adapter=i in adapter_set,
-                adapter_scale=self.adapter_scale,
-                dtype=self.dtype,
-                sequence_parallel=self.sequence_parallel,
-                name=f"transformer_blocks_{i}",
-            )(hidden, enc, temb, rope, action_emb)
+        if self.scan_blocks:
+            if adapter_set and len(adapter_set) != self.depth:
+                raise ValueError(
+                    "scan_blocks requires uniform blocks: adapter_sites must "
+                    f"cover all {self.depth} blocks or none, got {len(adapter_set)}"
+                )
+            pp_mesh = None
+            if self.pipeline_microbatches > 0:
+                from motionrag_tpu.parallel.sharding import ambient_mesh
+
+                m = ambient_mesh()
+                if m is not None and "pp" in m.axis_names and m.shape["pp"] > 1:
+                    pp_mesh = m
+            if pp_mesh is not None:
+                hidden, enc = self._pipelined_blocks(
+                    hidden, enc, temb, rope, action_emb, bool(adapter_set), pp_mesh
+                )
+            else:
+                scanned = nn.scan(
+                    _ScanBlockCell,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                    length=self.depth,
+                )(
+                    self.dim, self.heads, self.head_dim, self.time_embed_dim,
+                    self.ff_mult,
+                    with_adapter=bool(adapter_set),
+                    adapter_scale=self.adapter_scale,
+                    dtype=self.dtype,
+                    sequence_parallel=self.sequence_parallel,
+                    remat=self.remat,
+                    name="transformer_blocks",
+                )
+                (hidden, enc), _ = scanned((hidden, enc), temb, rope, action_emb)
+        else:
+            block_cls = CogVideoXBlock
+            if self.remat:
+                block_cls = nn.remat(CogVideoXBlock, static_argnums=())
+
+            for i in range(self.depth):
+                hidden, enc = block_cls(
+                    self.dim, self.heads, self.head_dim, self.time_embed_dim,
+                    self.ff_mult,
+                    with_adapter=i in adapter_set,
+                    adapter_scale=self.adapter_scale,
+                    dtype=self.dtype,
+                    sequence_parallel=self.sequence_parallel,
+                    name=f"transformer_blocks_{i}",
+                )(hidden, enc, temb, rope, action_emb)
 
         joint = jnp.concatenate([enc, hidden], axis=1)
         joint = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_final")(joint)
@@ -254,12 +339,90 @@ class CogVideoXTransformer3D(nn.Module):
         out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, f, h, w, self.out_channels)
         return out
 
+    def _pipelined_blocks(self, hidden, enc, temb, rope, action_emb,
+                          with_adapter, mesh):
+        """Run the block stack as a GPipe pipeline over the mesh's ``pp``
+        axis. The stacked params are declared directly (``self.param``) in
+        the exact tree layout ``nn.scan`` produces (``transformer_blocks ->
+        block -> ...`` with a leading depth axis), so scan-mode and
+        pipeline-mode execution share one checkpoint format."""
+        from motionrag_tpu.parallel.pipeline import pipeline_apply
+
+        cell = CogVideoXBlock(
+            self.dim, self.heads, self.head_dim, self.time_embed_dim,
+            self.ff_mult,
+            with_adapter=with_adapter,
+            adapter_scale=self.adapter_scale,
+            dtype=self.dtype,
+            sequence_parallel=self.sequence_parallel,
+        )
+        b = hidden.shape[0]
+        a_full = None
+        if with_adapter and action_emb is not None:
+            # pre-broadcast the CFG-batch so every stream in the microbatch
+            # pytree shares the leading batch dim
+            r = b // action_emb.shape[0]
+            a_full = jnp.repeat(action_emb, r, axis=0) if r > 1 else action_emb
+
+        def init_stacked(rng):
+            zh = jnp.zeros((1,) + hidden.shape[1:], hidden.dtype)
+            ze = jnp.zeros((1,) + enc.shape[1:], enc.dtype)
+            zt = jnp.zeros((1,) + temb.shape[1:], temb.dtype)
+            za = None if a_full is None else jnp.zeros(
+                (1,) + a_full.shape[1:], a_full.dtype
+            )
+            layers = [
+                cell.init(k, zh, ze, zt, rope, za)["params"]
+                for k in jax.random.split(rng, self.depth)
+            ]
+            return {"block": jax.tree.map(lambda *xs: jnp.stack(xs, 0), *layers)}
+
+        stacked = self.param("transformer_blocks", init_stacked)["block"]
+
+        if a_full is None:
+            def layer_fn(p, x):
+                h, e, t = x
+                h2, e2 = cell.apply({"params": p}, h, e, t, rope)
+                return (h2, e2, t)
+
+            carry = (hidden, enc, temb)
+        else:
+            def layer_fn(p, x):
+                h, e, t, a = x
+                h2, e2 = cell.apply({"params": p}, h, e, t, rope, a)
+                return (h2, e2, t, a)
+
+            carry = (hidden, enc, temb, a_full)
+        if self.remat:
+            layer_fn = jax.checkpoint(layer_fn)
+        out = pipeline_apply(
+            layer_fn, stacked, carry, mesh,
+            microbatches=self.pipeline_microbatches,
+        )
+        return out[0], out[1]
+
     @staticmethod
-    def partition_rules():
+    def partition_rules(scan_blocks: bool = False):
         """PartitionSpec rules (regex on canonical dotted path -> spec) for
-        TP sharding of the 5B model over the ``tp`` mesh axis."""
+        TP sharding of the 5B model over the ``tp`` mesh axis.
+
+        With ``scan_blocks=True`` the block kernels carry a leading depth
+        axis (``transformer_blocks.block.*`` stacked ``[L, in, out]``), so
+        the tp axis shifts one dim right; the depth axis itself is the one
+        ``parallel/pipeline.py`` shards over ``pp``."""
         from jax.sharding import PartitionSpec as P
 
+        if scan_blocks:
+            blk = r".*transformer_blocks.*"
+            return [
+                (blk + r"(to_q|to_k|to_v|to_q_ip|to_k_ip|to_v_ip)\.kernel",
+                 P(None, None, "tp")),
+                (blk + r"to_out\.kernel", P(None, "tp", None)),
+                (blk + r"ff_in\.kernel", P(None, None, "tp")),
+                (blk + r"ff_out\.kernel", P(None, "tp", None)),
+                (r".*patch_embed_proj\.kernel", P(None, "tp")),
+                (r".*", P()),
+            ]
         return [
             (r".*(to_q|to_k|to_v|to_q_ip|to_k_ip|to_v_ip)\.kernel", P(None, "tp")),
             (r".*to_out\.kernel", P("tp", None)),
@@ -268,3 +431,26 @@ class CogVideoXTransformer3D(nn.Module):
             (r".*patch_embed_proj\.kernel", P(None, "tp")),
             (r".*", P()),
         ]
+
+    @staticmethod
+    def stack_block_params(params, depth: int):
+        """Unrolled-loop layout (``transformer_blocks_{i}`` subtrees — the
+        layout checkpoints and the porting converters use) -> scan layout
+        (``transformer_blocks.block`` with a leading depth axis)."""
+        inner = params["params"] if "params" in params else params
+        out = {k: v for k, v in inner.items() if not k.startswith("transformer_blocks_")}
+        blocks = [inner[f"transformer_blocks_{i}"] for i in range(depth)]
+        out["transformer_blocks"] = {
+            "block": jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+        }
+        return {"params": out} if "params" in params else out
+
+    @staticmethod
+    def unstack_block_params(params, depth: int):
+        """Inverse of :meth:`stack_block_params`."""
+        inner = params["params"] if "params" in params else params
+        out = {k: v for k, v in inner.items() if k != "transformer_blocks"}
+        stacked = inner["transformer_blocks"]["block"]
+        for i in range(depth):
+            out[f"transformer_blocks_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+        return {"params": out} if "params" in params else out

@@ -52,11 +52,17 @@ def _canon_pattern(pattern: str) -> str:
     return ".".join(path_tokens(pattern.split(".")))
 
 
-def quantize_kernel(kernel: jnp.ndarray):
-    """fp kernel [in, out] -> (int8 kernel, fp32 per-out-channel scale)."""
+def quantize_kernel(kernel: jnp.ndarray, in_axis: int = 0):
+    """fp kernel -> (int8 kernel, fp32 per-out-channel scale), reducing over
+    ``in_axis``. 2-D ``[in, out]`` gives scale ``[out]``; stacked scanned
+    layers ``[L, in, out]`` (``in_axis=1``) give scale ``[L, out]`` — which
+    ``nn.scan``'s per-layer slicing turns back into ``[out]`` inside the
+    block, so the serving interceptor needs no layout awareness."""
     k = kernel.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(k), axis=0), _EPS) / 127.0
-    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(jnp.max(jnp.abs(k), axis=in_axis), _EPS) / 127.0
+    q = jnp.clip(
+        jnp.round(k / jnp.expand_dims(scale, in_axis)), -127, 127
+    ).astype(jnp.int8)
     return q, scale
 
 
@@ -64,6 +70,7 @@ def quantize_dense_tree(
     tree,
     include: Sequence[str] = ("*",),
     exclude: Sequence[str] = (),
+    stacked: Sequence[str] = ("transformer_blocks.block",),
     _prefix: tuple = (),
 ):
     """Replace matching 2-D Dense kernels in a variables/params pytree with
@@ -71,13 +78,18 @@ def quantize_dense_tree(
 
     ``include``/``exclude`` are reference-style dotted module patterns
     (``training/optim.py`` semantics: prefix match, ``*`` wildcard segment).
-    Already-quantized leaves and non-2-D kernels are left untouched. The
-    returned tree is new; the input is not mutated. Pure in the array leaves,
-    so the transform itself can be ``jax.jit``-ed for a one-launch device
+    Already-quantized leaves and non-2-D kernels are left untouched — except
+    under ``stacked`` paths (the DiT's ``scan_blocks`` layout, where Dense
+    kernels carry a leading depth axis ``[L, in, out]``), which quantize with
+    a per-layer-per-channel ``[L, out]`` scale. ``stacked`` is an explicit
+    opt-in list because 3-D kernels elsewhere are real Conv1ds. The returned
+    tree is new; the input is not mutated. Pure in the array leaves, so the
+    transform itself can be ``jax.jit``-ed for a one-launch device
     conversion.
     """
     inc = [_canon_pattern(p) for p in include]
     exc = [_canon_pattern(p) for p in exclude]
+    stk = [_canon_pattern(p) for p in stacked]
 
     def walk(node, path):
         if not isinstance(node, dict):
@@ -89,15 +101,18 @@ def quantize_dense_tree(
         if (
             kernel is not None
             and not isinstance(kernel, dict)
-            and getattr(kernel, "ndim", 0) == 2
             and "kernel_scale" not in out
             and jnp.issubdtype(jnp.asarray(kernel).dtype, jnp.floating)
         ):
             toks = path_tokens(path)
-            if any(pattern_matches(toks, p) for p in inc) and not any(
-                pattern_matches(toks, p) for p in exc
+            nd = getattr(kernel, "ndim", 0)
+            is_stacked = nd == 3 and any(pattern_matches(toks, p) for p in stk)
+            if (
+                (nd == 2 or is_stacked)
+                and any(pattern_matches(toks, p) for p in inc)
+                and not any(pattern_matches(toks, p) for p in exc)
             ):
-                q, scale = quantize_kernel(kernel)
+                q, scale = quantize_kernel(kernel, in_axis=1 if is_stacked else 0)
                 out["kernel"] = q
                 out["kernel_scale"] = scale
         return out
@@ -116,7 +131,10 @@ def quantize_dense_tree_lowmem(
     16 GB chip. The input tree's arrays are dead afterwards; use only the
     returned tree."""
 
-    jq = jax.jit(quantize_dense_tree, static_argnames=("include", "exclude", "_prefix"))
+    jq = jax.jit(
+        quantize_dense_tree,
+        static_argnames=("include", "exclude", "stacked", "_prefix"),
+    )
 
     def convert(node, path):
         if not isinstance(node, dict):

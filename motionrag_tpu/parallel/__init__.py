@@ -4,5 +4,13 @@ from motionrag_tpu.parallel.mesh import (
     local_mesh,
     with_sharding,
 )
+from motionrag_tpu.parallel.pipeline import pipeline_apply, stack_layer_params
 
-__all__ = ["MeshConfig", "build_mesh", "local_mesh", "with_sharding"]
+__all__ = [
+    "MeshConfig",
+    "build_mesh",
+    "local_mesh",
+    "with_sharding",
+    "pipeline_apply",
+    "stack_layer_params",
+]

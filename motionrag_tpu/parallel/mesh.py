@@ -5,6 +5,8 @@ reference ``configs/cogvideox/MotionRAG_open.yml:5-7``). Here the mesh is a
 first-class config axis: every trainer config carries a ``MeshConfig`` with
 named axes
 
+    pp  — pipeline parallel (stacked DiT blocks; parallel/pipeline.py) —
+          outermost, so per-tick activation hops tolerate the slowest links
     dp  — data parallel (batch sharding; gradient psum rides ICI)
     fsdp— optional parameter/optimizer sharding over the dp axis group
     tp  — tensor parallel (attention heads / MLP hidden of the 5B DiT)
@@ -28,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["MeshConfig", "build_mesh", "local_mesh", "with_sharding", "P"]
 
-AXIS_ORDER = ("dp", "fsdp", "tp", "sp")
+AXIS_ORDER = ("pp", "dp", "fsdp", "tp", "sp")
 
 
 @dataclasses.dataclass
@@ -39,9 +41,13 @@ class MeshConfig:
     fsdp: int = 1
     tp: int = 1
     sp: int = 1
+    pp: int = 1
 
     def resolve(self, n_devices: int) -> dict[str, int]:
-        sizes = {"dp": self.dp, "fsdp": self.fsdp, "tp": self.tp, "sp": self.sp}
+        sizes = {
+            "pp": self.pp, "dp": self.dp, "fsdp": self.fsdp,
+            "tp": self.tp, "sp": self.sp,
+        }
         fixed = int(np.prod([v for v in sizes.values() if v != -1]))
         wildcards = [k for k, v in sizes.items() if v == -1]
         if len(wildcards) > 1:

@@ -47,7 +47,7 @@ def test_mesh_resolution_and_sharding():
     mesh = build_mesh(MeshConfig(dp=-1, tp=2))
     assert mesh.devices.size == 8
     assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
-        "dp": 4, "fsdp": 1, "tp": 2, "sp": 1,
+        "pp": 1, "dp": 4, "fsdp": 1, "tp": 2, "sp": 1,
     }
     x = jnp.zeros((8, 16))
     xs = jax.device_put(x, NamedSharding(mesh, P(("dp", "fsdp"), "tp")))

@@ -126,6 +126,56 @@ def test_cogvideox_dit_quantized_forward():
     assert err < 0.1, err
 
 
+def test_scan_blocks_quantized_forward_matches_loop_quant():
+    """int8 serving composes with the scan_blocks layout: stacked [L,in,out]
+    kernels quantize with [L,out] scales (nn.scan slices both per layer), the
+    adaLN/adapter exclusions still apply, and the scanned int8 forward agrees
+    with the unrolled int8 forward."""
+    from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+    from motionrag_tpu.models.cogvideox.module import cogvideox_quant_patterns
+
+    depth = 2
+    common = dict(
+        in_channels=8, out_channels=4, dim=64, depth=depth, heads=4,
+        head_dim=16, text_embed_dim=32, time_embed_dim=32, dtype=jnp.float32,
+        adapter_sites=tuple(f"transformer_blocks.{i}" for i in range(depth)),
+    )
+    loop = CogVideoXTransformer3D(**common)
+    scan = CogVideoXTransformer3D(**common, scan_blocks=True)
+
+    rng = jax.random.PRNGKey(9)
+    x = jax.random.normal(rng, (1, 2, 8, 8, 8), jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(rng, 1), (1, 7, 32), jnp.float32)
+    action = jax.random.normal(jax.random.fold_in(rng, 2), (1, 5, 64), jnp.float32)
+    t = jnp.array([10])
+    p_loop = loop.init(jax.random.fold_in(rng, 3), x, text, t, action_emb=action)
+    p_scan = CogVideoXTransformer3D.stack_block_params(p_loop, depth)
+
+    include, exclude = cogvideox_quant_patterns()
+    q_loop = quant.quantize_dense_tree(p_loop, include, exclude)
+    q_scan = quant.quantize_dense_tree(p_scan, include, exclude)
+
+    blk = q_scan["params"]["transformer_blocks"]["block"]
+    assert blk["to_q"]["kernel"].dtype == jnp.int8
+    assert blk["to_q"]["kernel"].shape[0] == depth
+    assert blk["to_q"]["kernel_scale"].shape == (depth, 64)
+    assert blk["norm1_linear"]["kernel"].dtype != jnp.int8   # adaLN excluded
+    assert blk["to_q_ip"]["kernel"].dtype != jnp.int8        # adapter excluded
+
+    # stacked quantization == per-layer quantization of the same kernels
+    per_layer = q_loop["params"]["transformer_blocks_0"]["to_q"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(blk["to_q"]["kernel"][0]), np.asarray(per_layer)
+    )
+
+    with quant.quantized_calls():
+        out_loop = loop.apply(q_loop, x, text, t, action_emb=action)
+        out_scan = scan.apply(q_scan, x, text, t, action_emb=action)
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_loop), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_lowmem_blockwise_quantize_matches():
     """quantize_dense_tree_lowmem: same result tree as the one-shot
     transform; source buffers are deleted."""

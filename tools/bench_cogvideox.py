@@ -71,6 +71,11 @@ def main():
                     help="int8 W8A8 DiT serving (ops/quant.py): 2x MXU rate "
                     "on v5e, 5.6 GB DiT instead of 11.1 — reported "
                     "separately, never as the exact-protocol headline")
+    ap.add_argument("--scan-blocks", action="store_true",
+                    help="compile the 42-block stack as one nn.scan'd block "
+                    "(~42x smaller DiT HLO: faster + more reliable remote "
+                    "compiles); numerically identical to the unrolled loop "
+                    "(tests/test_dit_scan.py)")
     args = ap.parse_args()
 
     _start_watchdog(float(os.environ.get("MRT_WATCHDOG_S", 1500)))
@@ -93,14 +98,15 @@ def main():
         h, w, f, steps, s_text = 48, 48, 5, 2, 8
         dit = CogVideoXTransformer3D(in_channels=32, out_channels=16, dim=64,
                                      depth=2, heads=4, head_dim=16,
-                                     text_embed_dim=32, time_embed_dim=32, dtype=dtype)
+                                     text_embed_dim=32, time_embed_dim=32,
+                                     dtype=dtype, scan_blocks=args.scan_blocks)
         vae = CogVideoXVAE(block_out_channels=(32, 32, 32, 32),
                            layers_per_block=1, dtype=dtype)
         t5 = T5Encoder(vocab_size=64, dim=32, depth=1, heads=2, head_dim=16,
                        ff_dim=64, dtype=dtype)
     else:
         h, w, f, steps, s_text = 480, 720, args.frames, args.steps, 226
-        dit = CogVideoXTransformer3D(dtype=dtype)
+        dit = CogVideoXTransformer3D(dtype=dtype, scan_blocks=args.scan_blocks)
         vae = CogVideoXVAE(dtype=dtype)
         t5 = T5Encoder(dtype=dtype)  # t5-v1_1-xxl encoder scale
 
