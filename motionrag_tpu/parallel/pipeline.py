@@ -34,7 +34,6 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 __all__ = ["stack_layer_params", "pipeline_apply"]
 
@@ -99,22 +98,35 @@ def pipeline_apply(
     xs = jax.tree.map(lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:]), x)
 
     # params: layer axis sharded over pp; input microbatches replicated along
-    # pp (only stage 0 reads them; the buffer is small relative to weights)
+    # pp (only stage 0 reads them; the buffer is small relative to weights).
+    # Only the pp axis goes manual (axis_names) — every other mesh axis stays
+    # under the GSPMD partitioner, so a dp-sharded batch or tp-sharded
+    # kernels keep their sharding inside the pipeline body instead of being
+    # gathered.
     p_spec = jax.tree.map(lambda _: P(axis), stacked_params)
     x_spec = jax.tree.map(lambda _: P(), xs)
 
+    # check_vma=True is required for partial-manual shard_map (jax 0.9) and
+    # holds here: outputs are psum'd over pp, hence pp-invariant.
     @partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(p_spec, x_spec),
         out_specs=x_spec,
-        check_rep=False,
+        axis_names={axis},
     )
     def run(span_params, xs):
         rank = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % pp) for i in range(pp)]
-        state = jax.tree.map(lambda a: jnp.zeros_like(a[0]), xs)
-        outputs = jax.tree.map(jnp.zeros_like, xs)
+        # the carry is pp-varying from tick 1 on; mark the (zero) initial
+        # carry as varying so the scan carry type is stable (vma typing)
+        state = jax.tree.map(
+            lambda a: jax.lax.pcast(jnp.zeros_like(a[0]), (axis,), to="varying"),
+            xs,
+        )
+        outputs = jax.tree.map(
+            lambda a: jax.lax.pcast(jnp.zeros_like(a), (axis,), to="varying"), xs
+        )
 
         def tick(carry, t):
             state, outputs = carry

@@ -81,6 +81,29 @@ def test_pipeline_gradients_match(pp_mesh, rng):
     )
 
 
+def test_pipeline_composes_with_dp_sharded_batch(pp_mesh, rng):
+    """Only the pp axis goes manual inside pipeline_apply (auto= for the
+    rest): a dp-sharded batch keeps its sharding through the pipeline under
+    jit, and the result still matches the sequential stack."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params = _stacked_mlp(rng, n_layers=4, dim=16)
+    x = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    ref = _apply_span(_mlp_layer, params, x)
+
+    xs = jax.device_put(x, NamedSharding(pp_mesh, P("dp")))
+    ps = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(pp_mesh, P())), params
+    )
+
+    @jax.jit
+    def run(p, x):
+        return pipeline_apply(_mlp_layer, p, x, pp_mesh, microbatches=2)
+
+    out = run(ps, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
 def test_pipeline_dit_block(pp_mesh, rng):
     """Pipeline the real CogVideoX joint-attention block: activations are the
     (hidden, encoder_hidden, temb) stream pytree; rope cache closed over."""

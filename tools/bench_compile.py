@@ -17,7 +17,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():
