@@ -24,6 +24,7 @@ __all__ = [
     "restore_into",
     "merge_into",
     "mask_filter",
+    "adapt_block_layout",
 ]
 
 
@@ -54,13 +55,78 @@ def restore_checkpoint(path: str | Path, template: Any | None = None) -> Any:
         return ckptr.restore(path, template)
 
 
+def _stack_layers(*xs):
+    if all(x is None for x in xs):
+        return None
+    if any(x is None for x in xs):
+        raise ValueError(
+            "cannot stack DiT block params into scan layout: trainable "
+            "masking differs between blocks (some layers pruned, some not)"
+        )
+    return np.stack([np.asarray(x) for x in xs], axis=0)
+
+
+def _is_none(x):
+    return x is None
+
+
+def adapt_block_layout(target: Any, restored: Any) -> Any:
+    """Convert DiT block params between the unrolled layout
+    (``transformer_blocks_{i}`` subtrees — what the porting converters and
+    loop-mode checkpoints produce) and the scanned layout
+    (``transformer_blocks.block`` with a leading depth axis — what
+    ``scan_blocks=True`` modules own) wherever the checkpoint and the target
+    tree disagree, so one released artifact serves both execution modes."""
+    if not (isinstance(target, dict) and isinstance(restored, dict)):
+        return restored
+
+    out = dict(restored)
+    loop_keys = sorted(
+        (
+            k for k in out
+            if k.startswith("transformer_blocks_") and k.rsplit("_", 1)[1].isdigit()
+        ),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    if loop_keys and "transformer_blocks" in target and "transformer_blocks" not in out:
+        blocks = [out.pop(k) for k in loop_keys]
+        out["transformer_blocks"] = {
+            "block": jax.tree.map(_stack_layers, *blocks, is_leaf=_is_none)
+        }
+    elif (
+        "transformer_blocks" in out
+        and isinstance(out["transformer_blocks"], dict)
+        and set(out["transformer_blocks"]) == {"block"}
+        and "transformer_blocks" not in target
+        and any(k.startswith("transformer_blocks_") for k in target)
+    ):
+        stacked = out.pop("transformer_blocks")["block"]
+        depth = sum(
+            1 for k in target
+            if k.startswith("transformer_blocks_") and k.rsplit("_", 1)[1].isdigit()
+        )
+        for i in range(depth):
+            out[f"transformer_blocks_{i}"] = jax.tree.map(
+                lambda x, i=i: None if x is None else x[i], stacked, is_leaf=_is_none
+            )
+    return {
+        k: adapt_block_layout(target[k], v)
+        if isinstance(v, dict) and isinstance(target.get(k), dict)
+        else v
+        for k, v in out.items()
+    }
+
+
 def merge_into(params: Any, restored: Any) -> Any:
     """strict=False merge: leaves present in the (possibly pruned)
     checkpoint tree override the given tree; missing leaves keep their
     current values. Full-train-state checkpoints (trainer.save_checkpoint:
-    ``{params, opt_state, step, rng}``) contribute their params subtree."""
+    ``{params, opt_state, step, rng}``) contribute their params subtree.
+    Unrolled-vs-scanned DiT block layouts are adapted automatically
+    (:func:`adapt_block_layout`)."""
     if isinstance(restored, dict) and "opt_state" in restored and "params" in restored:
         restored = restored["params"]
+    restored = adapt_block_layout(params, restored)
 
     def merge(full, part):
         if isinstance(part, dict) and isinstance(full, dict):

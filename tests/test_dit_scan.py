@@ -78,6 +78,59 @@ def test_scan_init_layout_matches_stacked(rng):
                  p_scan, p_stacked)
 
 
+def test_checkpoint_layout_adaptation_both_ways(rng, tmp_path):
+    """One released artifact serves both execution modes: a loop-layout
+    checkpoint restores into a scan_blocks param tree (auto-stacked) and a
+    scan-layout checkpoint restores into a loop tree (auto-unstacked),
+    including strict=False partial (incremental) checkpoints."""
+    from motionrag_tpu.training.checkpoints import (
+        adapt_block_layout,
+        merge_into,
+        restore_into,
+        save_checkpoint,
+    )
+
+    depth = 3
+    loop = _toy_dit(False, depth=depth)
+    sample = jnp.asarray(rng.standard_normal((1, 3, 4, 4, 8)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((1, 5, 16)), jnp.float32)
+    t = jnp.asarray([0], jnp.int32)
+    p_loop = loop.init(jax.random.key(3), sample, text, t)
+    p_scan = CogVideoXTransformer3D.stack_block_params(p_loop, depth)
+
+    # loop checkpoint -> scan template
+    ck = tmp_path / "loop_ck"
+    save_checkpoint(ck, p_loop)
+    zero_scan = jax.tree.map(jnp.zeros_like, p_scan)
+    merged = restore_into(ck, zero_scan)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        merged, p_scan,
+    )
+
+    # scan checkpoint -> loop template
+    ck2 = tmp_path / "scan_ck"
+    save_checkpoint(ck2, p_scan)
+    zero_loop = jax.tree.map(jnp.zeros_like, p_loop)
+    merged2 = restore_into(ck2, zero_loop)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        merged2, p_loop,
+    )
+
+    # incremental (pruned) checkpoint: only to_q trainable in every block
+    pruned = jax.tree_util.tree_map_with_path(
+        lambda path, x: x if any(
+            getattr(k, "key", None) == "to_q" for k in path
+        ) else None,
+        p_loop,
+    )
+    adapted = adapt_block_layout(p_scan["params"], pruned["params"])
+    blk = adapted["transformer_blocks"]["block"]
+    assert blk["to_q"]["kernel"].shape[0] == depth
+    assert blk["ff_in"]["kernel"] is None
+
+
 def test_scan_blocks_rejects_partial_adapters():
     dit = CogVideoXTransformer3D(
         in_channels=8, out_channels=4, dim=32, depth=4, heads=2, head_dim=16,
