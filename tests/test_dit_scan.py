@@ -196,6 +196,33 @@ def test_pipeline_microbatches_matches_loop(rng, adapters):
     assert jax.tree.structure(p_init) == jax.tree.structure(p_scan)
 
 
+def test_trainable_patterns_select_adapters_in_scan_layout(rng):
+    """Reference-style trainable patterns keep working against the scanned
+    param tree: `transformer_blocks.*.processor` selects exactly the adapter
+    branch leaves (to_q_ip/to_k_ip/to_v_ip) whether the blocks are unrolled
+    or stacked."""
+    from motionrag_tpu.training.optim import trainable_mask
+
+    depth = 2
+    scan = _toy_dit(True, adapters=True, depth=depth)
+    sample = jnp.asarray(rng.standard_normal((1, 3, 4, 4, 8)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((1, 5, 16)), jnp.float32)
+    action = jnp.asarray(rng.standard_normal((1, 6, 32)), jnp.float32)
+    p = scan.init(jax.random.key(0), sample, text, jnp.zeros((1,), jnp.int32), action)
+
+    mask = trainable_mask(p, ["transformer_blocks.*.processor"])
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    selected = {
+        ".".join(str(getattr(k, "key", k)) for k in path)
+        for path, m in flat if m
+    }
+    assert selected, "no adapter params selected in scan layout"
+    assert all(any(s in name for s in ("to_q_ip", "to_k_ip", "to_v_ip"))
+               for name in selected), selected
+    n_adapter = sum(1 for _, m in flat if m)
+    assert n_adapter == 3  # q/k/v ip kernels (bias-free), stacked over depth
+
+
 def test_scanned_partition_rules_fit_stacked_leaves(rng):
     """scan-layout TP rules shard the stacked kernels on the correct dim."""
     from motionrag_tpu.parallel import MeshConfig, build_mesh
