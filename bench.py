@@ -333,6 +333,10 @@ def _run_phase_subprocess(phase: str, small: bool, timeout: float) -> dict:
         sys.stderr.write((e.stderr or b"").decode() if isinstance(e.stderr, bytes)
                          else (e.stderr or ""))
         print(f"phase {phase} timed out after {timeout:.0f}s", file=sys.stderr)
+        # the killed child (or a forked grandchild) can hold HBM for a few
+        # seconds after SIGKILL; launching the next TPU phase immediately
+        # hangs it on co-tenancy (CLAUDE.md). Settle before returning.
+        time.sleep(15)
         return dict(_PHASES[phase][1])
     sys.stderr.write(proc.stderr)
     for line in reversed(proc.stdout.strip().splitlines()):
@@ -349,6 +353,20 @@ def _run_phase_subprocess(phase: str, small: bool, timeout: float) -> dict:
 # When the deadline leaves no room to re-measure it, fold in a CONSERVATIVE
 # 1.0 s (5x our measurement) so the headline never understates our time.
 _FALLBACK_OVERHEAD_S = 1.0
+
+
+def _tunnel_relay_alive(timeout_s: float = 3.0) -> bool:
+    """Probe the axon tunnel relay (local TCP forward on 127.0.0.1:8082).
+    The relay is a driver-attached process that can die mid-session; when it
+    is down every jax device call blocks forever (no timeout surfaces), so a
+    bench run would burn its whole budget hanging in backend init."""
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=timeout_s):
+            return True
+    except OSError:
+        return False
 
 
 def main():
@@ -389,6 +407,24 @@ def main():
 
     remaining = lambda: args.budget - (time.time() - t_start)
 
+    if not args.small:
+        # wait briefly in case the relay is restarting, then fail fast and
+        # legibly instead of hanging phase subprocesses for the whole budget
+        deadline = time.time() + min(120, max(0, remaining() - 60))
+        while not _tunnel_relay_alive():
+            if time.time() > deadline:
+                print("TPU tunnel relay (127.0.0.1:8082) is down — cannot "
+                      "reach the device; no measurement possible", file=sys.stderr)
+                print(json.dumps({
+                    "metric": "sec/video end-to-end MotionRAG I2V (DynamiCrafter "
+                              "16f 1024x576, 30 DDIM steps + RAG retrieval + CAMA), "
+                              "1x TPU v5e vs published A100",
+                    "value": None, "unit": "s/video", "vs_baseline": None,
+                    "error": "tpu_tunnel_relay_down",
+                }))
+                sys.exit(1)
+            time.sleep(5)
+
     detail = {}
     # Headline phase first — everything else is optional detail. The DC
     # phase gets the whole budget minus a 60 s reserve for ragcama.
@@ -409,12 +445,14 @@ def main():
     # the reference's own published wall-clock for this exact workload with
     # RAG: 89.4 s/video (README.md:50, A100-class hardware)
     baseline = 89.4
+    ok = np.isfinite(total) and total > 0
     print(json.dumps({
         "metric": "sec/video end-to-end MotionRAG I2V (DynamiCrafter 16f 1024x576, "
                   "30 DDIM steps + RAG retrieval + CAMA), 1x TPU v5e vs published A100",
-        "value": round(float(total), 3),
+        # strict JSON: a NaN value (failed phase) serializes as null, not NaN
+        "value": round(float(total), 3) if ok else None,
         "unit": "s/video",
-        "vs_baseline": round(baseline / total, 3) if np.isfinite(total) and total > 0 else None,
+        "vs_baseline": round(baseline / total, 3) if ok else None,
     }))
     sys.stdout.flush()
     print(json.dumps({"detail": {k: round(float(v), 3) for k, v in detail.items()}}), file=sys.stderr)

@@ -85,7 +85,6 @@ class CogVideoX5B:
         # opt-in int8 W8A8 DiT serving (ops/quant.py docstring): eval-only —
         # the frozen backbone is quantized once per param tree and cached
         self.quantize = quantize
-        self._quant_key = None
         self._quant_cache = None
         self.schedule = CogVideoXSchedule()
         self.pipe = self.build_pipeline()
@@ -99,21 +98,17 @@ class CogVideoX5B:
         )
 
     def _quantized_transformer_params(self, tree):
-        """int8 copy of the DiT params, cached by leaf identity. NOTE: the
-        cache keeps one extra (int8) copy alive alongside the fp tree —
-        fine for CPU tests/eval; single-chip serving at 5B scale should
-        quantize once at load and drop the fp tree (tools/bench_cogvideox)."""
-        from motionrag_tpu.ops.quant import quantize_dense_tree
+        """int8 copy of the DiT params, cached by leaf identity
+        (``ops.quant.QuantizedTreeCache``). NOTE: the cache keeps one extra
+        (int8) copy alive alongside the fp tree — fine for CPU tests/eval;
+        single-chip serving at 5B scale should quantize once at load and
+        drop the fp tree (tools/bench_cogvideox)."""
+        from motionrag_tpu.ops.quant import QuantizedTreeCache
 
-        leaves = jax.tree_util.tree_leaves(tree)
-        key = (len(leaves), id(leaves[0]) if leaves else 0)
-        if self._quant_key != key:
-            include, exclude = cogvideox_quant_patterns()
-            self._quant_cache = jax.jit(
-                quantize_dense_tree, static_argnames=("include", "exclude")
-            )(tree, include=include, exclude=exclude)
-            self._quant_key = key
-        return self._quant_cache
+        if self._quant_cache is None:
+            self._quant_cache = QuantizedTreeCache()
+        include, exclude = cogvideox_quant_patterns()
+        return self._quant_cache.get(tree, include, exclude)
 
     # -- init --------------------------------------------------------------
 

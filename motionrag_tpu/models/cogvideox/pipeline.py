@@ -86,6 +86,10 @@ class CogVideoXImageToVideoPipeline:
     def _decode_chunk(self, variables, z):
         return self.vae.apply(variables, z, True, method="decode", mutable=("cache",))
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _decode_whole(self, variables, z):
+        return self.vae.apply(variables, z, method="decode")
+
     def _decode_latents(self, params, latents, frame_batch_size: int = 2):
         """Streaming frame-batched decode (the reference's default diffusers
         decode path). Caps per-launch activation memory AND device-program
@@ -94,9 +98,7 @@ class CogVideoXImageToVideoPipeline:
         from motionrag_tpu.models.cogvideox.vae3d import decode_chunked
 
         if latents.shape[1] <= frame_batch_size + 1:
-            return self.vae.apply(
-                params["vae"], latents.astype(self.dtype), method="decode"
-            )
+            return self._decode_whole(params["vae"], latents.astype(self.dtype))
         return decode_chunked(
             self.vae, params["vae"], latents.astype(self.dtype), frame_batch_size,
             decode_fn=lambda variables, z, mutable: self._decode_chunk(variables, z),

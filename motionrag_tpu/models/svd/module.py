@@ -88,7 +88,6 @@ class SVDModule:
         # opt-in int8 W8A8 UNet serving (ops/quant.py): eval-only, quantized
         # once per param tree and cached
         self.quantize = quantize
-        self._quant_key = None
         self._quant_cache = None
         self.pipe = self.build_pipeline()
 
@@ -176,17 +175,12 @@ class SVDModule:
     def _quantized_unet_params(self, tree):
         """int8 copy of the UNet params, cached by leaf identity (see
         ``CogVideoX5B._quantized_transformer_params`` for the HBM caveat)."""
-        from motionrag_tpu.ops.quant import quantize_dense_tree
+        from motionrag_tpu.ops.quant import QuantizedTreeCache
 
-        leaves = jax.tree_util.tree_leaves(tree)
-        key = (len(leaves), id(leaves[0]) if leaves else 0)
-        if self._quant_key != key:
-            include, exclude = svd_quant_patterns()
-            self._quant_cache = jax.jit(
-                quantize_dense_tree, static_argnames=("include", "exclude")
-            )(tree, include=include, exclude=exclude)
-            self._quant_key = key
-        return self._quant_cache
+        if self._quant_cache is None:
+            self._quant_cache = QuantizedTreeCache()
+        include, exclude = svd_quant_patterns()
+        return self._quant_cache.get(tree, include, exclude)
 
     def eval_pipeline(self, params, batch: dict, rng: jax.Array, **kwargs) -> jnp.ndarray:
         call_kwargs = dict(self.eval_pipeline_call_kwargs)

@@ -40,7 +40,42 @@ __all__ = [
     "quantize_dense_tree",
     "quantized_calls",
     "dense_quant_bytes",
+    "QuantizedTreeCache",
 ]
+
+
+class QuantizedTreeCache:
+    """Memoizes the int8 copy of a params tree across eval calls.
+
+    Keyed by the *identity* of the tree's first leaf plus the leaf count.
+    The anchor leaf is held with a strong reference, so CPython can never
+    reuse its address while the cache is alive — an ``is`` comparison is
+    therefore sound (a plain ``id()`` key can collide after the old tree is
+    garbage-collected and a fresh leaf lands at the recycled address,
+    silently serving stale quantized weights, e.g. across LoRA-merged eval
+    epochs). Cost: one extra fp leaf kept alive alongside the int8 tree.
+    """
+
+    def __init__(self):
+        self._anchor = None
+        self._n = -1
+        self._value = None
+
+    def get(self, tree, include, exclude):
+        leaves = jax.tree_util.tree_leaves(tree)
+        anchor = leaves[0] if leaves else None
+        if (
+            self._value is not None
+            and anchor is self._anchor
+            and len(leaves) == self._n
+        ):
+            return self._value
+        self._value = jax.jit(
+            quantize_dense_tree, static_argnames=("include", "exclude")
+        )(tree, include=include, exclude=exclude)
+        self._anchor = anchor
+        self._n = len(leaves)
+        return self._value
 
 _EPS = 1e-8
 

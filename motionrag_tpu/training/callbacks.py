@@ -105,6 +105,7 @@ class WandbVideoLogger(SaveVideo):
         super().__init__(save_dir=save_dir, fps=fps, save_gt=save_gt)
         self.video_num = video_num
         self.remove_after_log = remove_after_log
+        self._logged: set = set()
 
     def on_eval_epoch_end(self, trainer, stage, generated, ground_truth, prompts, **kwargs):
         super().on_eval_epoch_end(trainer, stage, generated, ground_truth,
@@ -112,7 +113,12 @@ class WandbVideoLogger(SaveVideo):
         logger = getattr(trainer, "logger", None)
         if logger is None or not hasattr(logger, "log_video"):
             return {}
-        videos = sorted((self.save_dir / stage).rglob("*.mp4"))[: self.video_num]
+        # only files written since the last log call: SaveVideo's filename
+        # counter accumulates across eval epochs, so a plain sorted()[:N]
+        # would re-log the oldest epoch's videos forever
+        videos = [v for v in sorted((self.save_dir / stage).rglob("*.mp4"))
+                  if v not in self._logged][: self.video_num]
+        self._logged.update(videos)
         key = "val" if stage != "test" else "test"
         step = getattr(trainer, "_last_step", 0)
         logger.log_video(key, [str(v) for v in videos], step)

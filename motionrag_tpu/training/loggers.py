@@ -146,8 +146,12 @@ def build_logger(spec, root_dir: str | Path):
     """Resolve the Trainer's ``logger`` config: None → JSONLLogger, a
     class_path spec → instantiated (run dir injected), an instance → bound
     to the run dir if it wasn't already."""
-    if spec is None:
+    if spec is None or spec is True:
         return JSONLLogger(root_dir)
+    if spec is False:
+        # Lightning spelling ``logger: false`` — keep the stdout echo but
+        # write no files (JSONLLogger with no bound path does exactly that)
+        return JSONLLogger(None)
     if isinstance(spec, dict) and "class_path" in spec:
         from motionrag_tpu.config import instantiate
 

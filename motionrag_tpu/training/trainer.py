@@ -17,6 +17,7 @@ host round-trips except logging every ``log_every_n_steps``.
 
 from __future__ import annotations
 
+import inspect
 import json
 import time
 from pathlib import Path
@@ -492,19 +493,23 @@ class Trainer:
             prompts.extend(m.get("raw_prompt", "") for m in meta)
             # per-sample identity for dedup/ordering (reference wrapper.py
             # keys per-sample scores by video id, not running index)
-            sample_ids.extend(
-                m.get("id", len(sample_ids) + j) for j, m in enumerate(meta)
-            )
+            base = len(sample_ids)
+            sample_ids.extend(m.get("id", base + j) for j, m in enumerate(meta))
         results = {}
         for cb in self.callbacks:
             if hasattr(cb, "on_eval_epoch_end"):
+                hook = cb.on_eval_epoch_end
+                kwargs = {}
                 try:
-                    out = cb.on_eval_epoch_end(
-                        self, stage, generated, ground_truth, prompts,
-                        sample_ids=sample_ids,
-                    )
-                except TypeError:
-                    out = cb.on_eval_epoch_end(self, stage, generated, ground_truth, prompts)
+                    sig = inspect.signature(hook)
+                    if "sample_ids" in sig.parameters or any(
+                        p.kind is inspect.Parameter.VAR_KEYWORD
+                        for p in sig.parameters.values()
+                    ):
+                        kwargs["sample_ids"] = sample_ids
+                except (TypeError, ValueError):
+                    pass
+                out = hook(self, stage, generated, ground_truth, prompts, **kwargs)
                 if out:
                     results.update(out)
         if results:

@@ -94,3 +94,18 @@ def test_save_image_and_wandb_video_logger(tmp_path):
     mp4s = sorted((tmp_path / "vids" / "test").glob("*.mp4"))
     assert len(mp4s) == 2  # both written
     assert trainer.logger.videos == [("test", [str(mp4s[0])], 7)]  # capped at 1
+
+
+def test_wandb_video_logger_logs_only_new_files(tmp_path):
+    """Across eval epochs the logger must ship the freshly written videos,
+    not re-select the oldest N forever (SaveVideo's filename counter
+    accumulates across epochs)."""
+    trainer = FakeTrainer(tmp_path)
+    videos = [np.random.default_rng(0).integers(0, 255, (1, 4, 3, 8, 8), dtype=np.uint8)]
+    vcb = cb.WandbVideoLogger(save_dir=str(tmp_path / "vids"), video_num=4)
+    vcb.on_eval_epoch_end(trainer, "val", videos, videos, ["a"])
+    vcb.on_eval_epoch_end(trainer, "val", videos, videos, ["b"])
+    assert len(trainer.logger.videos) == 2
+    first, second = trainer.logger.videos
+    assert first[1] and second[1]
+    assert not set(first[1]) & set(second[1])  # no re-logged stale files

@@ -313,3 +313,19 @@ def test_quantized_tree_jits():
     jitted = jax.jit(quant.quantize_dense_tree, static_argnames=("include", "exclude"))
     out = jitted(params)
     assert out["params"]["kernel"].dtype == jnp.int8
+
+
+def test_quantized_tree_cache_invalidates_on_new_tree():
+    """QuantizedTreeCache must recompute when a structurally identical but
+    value-different tree arrives (regression: an id()-keyed cache could
+    serve stale int8 weights after address reuse)."""
+    cache = quant.QuantizedTreeCache()
+    t1 = {"params": {"kernel": jnp.ones((4, 4), jnp.float32)}}
+    q1 = cache.get(t1, include=("*",), exclude=())
+    assert cache.get(t1, include=("*",), exclude=()) is q1  # hit on same tree
+    t2 = {"params": {"kernel": 2.0 * jnp.ones((4, 4), jnp.float32)}}
+    q2 = cache.get(t2, include=("*",), exclude=())
+    assert q2 is not q1
+    assert float(q2["params"]["kernel_scale"][0]) != float(
+        q1["params"]["kernel_scale"][0]
+    )
