@@ -95,10 +95,20 @@ class CogVideoXBlock(nn.Module):
             )
             return jnp.split(mod[:, None, :], n_chunks, axis=-1)
 
+        def affine_ln(name):
+            # CogVideoXLayerNormZero holds an *affine* LayerNorm shared by the
+            # text and video streams (diffusers norm_elementwise_affine=True
+            # default; real CogVideoX-5b checkpoints carry norm1.norm.weight/
+            # bias) — the learned scale/bias apply before the adaLN modulation
+            s = self.param(f"{name}_norm_scale", nn.initializers.ones, (self.dim,))
+            b_ = self.param(f"{name}_norm_bias", nn.initializers.zeros, (self.dim,))
+            return s, b_
+
         # --- attention with adaLN-zero ------------------------------------
         shift, scale, gate, e_shift, e_scale, e_gate = ln_zero("norm1")
-        h_n = layer_norm(hidden) * (1 + scale) + shift
-        e_n = layer_norm(encoder_hidden) * (1 + e_scale) + e_shift
+        n1_s, n1_b = affine_ln("norm1")
+        h_n = layer_norm(hidden, n1_s, n1_b) * (1 + scale) + shift
+        e_n = layer_norm(encoder_hidden, n1_s, n1_b) * (1 + e_scale) + e_shift
         joint = jnp.concatenate([e_n, h_n], axis=1)
         if self.sequence_parallel:
             from motionrag_tpu.parallel.sharding import maybe_shard_seq
@@ -145,8 +155,9 @@ class CogVideoXBlock(nn.Module):
 
         # --- feed-forward with adaLN-zero ----------------------------------
         shift, scale, gate, e_shift, e_scale, e_gate = ln_zero("norm2")
-        h_n = layer_norm(hidden) * (1 + scale) + shift
-        e_n = layer_norm(encoder_hidden) * (1 + e_scale) + e_shift
+        n2_s, n2_b = affine_ln("norm2")
+        h_n = layer_norm(hidden, n2_s, n2_b) * (1 + scale) + shift
+        e_n = layer_norm(encoder_hidden, n2_s, n2_b) * (1 + e_scale) + e_shift
         joint = jnp.concatenate([e_n, h_n], axis=1)
         if self.sequence_parallel:
             from motionrag_tpu.parallel.sharding import maybe_shard_seq
@@ -328,10 +339,13 @@ class CogVideoXTransformer3D(nn.Module):
         joint = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_final")(joint)
         hidden = joint[:, enc.shape[1]:]
 
-        # AdaLayerNorm out: silu(temb) -> (shift, scale)
+        # AdaLayerNorm out: silu(temb) -> (shift, scale); the inner LayerNorm
+        # is affine (diffusers AdaLayerNorm norm.weight/bias in released ckpts)
         mod = nn.Dense(2 * self.dim, dtype=self.dtype, name="norm_out_linear")(nn.silu(temb))
         shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
-        hidden = layer_norm(hidden) * (1 + scale) + shift
+        no_s = self.param("norm_out_norm_scale", nn.initializers.ones, (self.dim,))
+        no_b = self.param("norm_out_norm_bias", nn.initializers.zeros, (self.dim,))
+        hidden = layer_norm(hidden, no_s, no_b) * (1 + scale) + shift
         out = nn.Dense(p * p * self.out_channels, dtype=self.dtype, name="proj_out")(hidden)
 
         # unpatchify

@@ -343,15 +343,25 @@ class SpatioTemporalResBlock(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 3x3 conv downsample. Two diffusers padding conventions:
+    VAE encoder blocks build Downsample2D with padding=0 and pad (0,1,0,1)
+    asymmetrically; UNet down blocks build it with padding=1 (symmetric).
+    Both shapes agree for even inputs but the values differ at the edges —
+    pick the one matching the checkpoint family."""
+
     channels: int
+    asymmetric: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # diffusers pads (0,1,0,1) asymmetric before stride-2 conv
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        if self.asymmetric:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            padding = "VALID"
+        else:
+            padding = ((1, 1), (1, 1))
         return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype, name="conv"
+            self.channels, (3, 3), strides=(2, 2), padding=padding, dtype=self.dtype, name="conv"
         )(x)
 
 

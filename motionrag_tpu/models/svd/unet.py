@@ -182,7 +182,10 @@ class UNetSpatioTemporal(nn.Module):
                     )(x, context, f, action_emb=action_emb)
                 residuals.append(x)
             if not is_final:
-                x = Downsample2D(out_ch, dtype=self.dtype, name=f"down_blocks_{i}_downsample")(x)
+                # diffusers UNet down blocks use the symmetric padding=1
+                # convention (the asymmetric pad is the VAE encoder's)
+                x = Downsample2D(out_ch, asymmetric=False, dtype=self.dtype,
+                                 name=f"down_blocks_{i}_downsample")(x)
                 residuals.append(x)
 
         # mid

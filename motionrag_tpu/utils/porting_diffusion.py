@@ -125,7 +125,13 @@ def port_cogvideox_transformer(sd: dict, depth: int = 42, strict: bool = True) -
         pre = f"transformer_blocks.{i}"
         blk = {
             "norm1_linear": _linear(c, f"{pre}.norm1.linear"),
+            # CogVideoXLayerNormZero's inner affine LayerNorm (shared by the
+            # text and video streams)
+            "norm1_norm_scale": c(f"{pre}.norm1.norm.weight"),
+            "norm1_norm_bias": c(f"{pre}.norm1.norm.bias"),
             "norm2_linear": _linear(c, f"{pre}.norm2.linear"),
+            "norm2_norm_scale": c(f"{pre}.norm2.norm.weight"),
+            "norm2_norm_bias": c(f"{pre}.norm2.norm.bias"),
             "to_q": _linear(c, f"{pre}.attn1.to_q"),
             "to_k": _linear(c, f"{pre}.attn1.to_k"),
             "to_v": _linear(c, f"{pre}.attn1.to_v"),
@@ -139,6 +145,9 @@ def port_cogvideox_transformer(sd: dict, depth: int = 42, strict: bool = True) -
 
     p["norm_final"] = _ln(c, "norm_final")
     p["norm_out_linear"] = _linear(c, "norm_out.linear")
+    # AdaLayerNorm's inner affine LayerNorm
+    p["norm_out_norm_scale"] = c("norm_out.norm.weight")
+    p["norm_out_norm_bias"] = c("norm_out.norm.bias")
     p["proj_out"] = _linear(c, "proj_out")
 
     if strict:

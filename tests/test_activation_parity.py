@@ -361,3 +361,585 @@ def test_ddim_trajectory_parity(spacing):
     )
     samples_j = np.asarray(samples_j).transpose(0, 4, 1, 2, 3)
     np.testing.assert_allclose(samples_j, samples_t, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX DiT: independent torch re-implementation (diffusers
+# CogVideoXTransformer3DModel structure + key names, reference
+# ``cogvideox/module.py:22-49`` loads it via diffusers) vs our
+# CogVideoXTransformer3D through port_cogvideox_transformer.
+# ---------------------------------------------------------------------------
+
+
+def _t_rope_3d(head_dim, f, ph, pw):
+    """torch build of diffusers get_3d_rotary_pos_embed: per-axis bands
+    (t: d/4, h: 3d/8, w: 3d/8), interleave-duplicated cos/sin [S, D]."""
+    dim_t, dim_h = head_dim // 4, head_dim // 8 * 3
+    dim_w = head_dim - dim_t - dim_h
+
+    def axis(n, d):
+        theta = 1.0 / (10000.0 ** (torch.arange(0, d, 2).double() / d))
+        return torch.outer(torch.arange(n).double(), theta)  # [n, d/2]
+
+    ft, fh, fw = axis(f, dim_t), axis(ph, dim_h), axis(pw, dim_w)
+    grid = torch.cat(
+        [
+            ft[:, None, None, :].expand(f, ph, pw, -1),
+            fh[None, :, None, :].expand(f, ph, pw, -1),
+            fw[None, None, :, :].expand(f, ph, pw, -1),
+        ],
+        dim=-1,
+    ).reshape(f * ph * pw, head_dim // 2)
+    cos = grid.cos().repeat_interleave(2, dim=-1).float()
+    sin = grid.sin().repeat_interleave(2, dim=-1).float()
+    return cos, sin
+
+
+def _t_apply_rope(x, cos, sin):
+    """diffusers apply_rotary_emb, use_real=True, interleaved pairs
+    (use_real_unbind_dim=-1); x [b, heads, s, d]."""
+    x_real, x_imag = x.reshape(*x.shape[:-1], -1, 2).unbind(-1)
+    x_rot = torch.stack([-x_imag, x_real], dim=-1).flatten(-2)
+    return (x.float() * cos + x_rot.float() * sin).to(x.dtype)
+
+
+class _TCogBlock(torch.nn.Module):
+    """diffusers CogVideoXBlock: CogVideoXLayerNormZero (affine inner LN
+    shared by both streams) -> joint attention with per-head QK LayerNorm
+    (eps 1e-6) + RoPE on the video part -> gated residual; same for the
+    gelu-tanh FF over the re-concatenated joint sequence."""
+
+    def __init__(self, dim, heads, head_dim, time_embed_dim):
+        super().__init__()
+        nn = torch.nn
+        inner = heads * head_dim
+        self.heads, self.head_dim = heads, head_dim
+        self.norm1 = nn.ModuleDict(
+            dict(linear=nn.Linear(time_embed_dim, 6 * dim), norm=nn.LayerNorm(dim, eps=1e-5))
+        )
+        self.attn1 = nn.ModuleDict(
+            dict(
+                to_q=nn.Linear(dim, inner), to_k=nn.Linear(dim, inner),
+                to_v=nn.Linear(dim, inner),
+                norm_q=nn.LayerNorm(head_dim, eps=1e-6),
+                norm_k=nn.LayerNorm(head_dim, eps=1e-6),
+            )
+        )
+        # diffusers names the out projection attn1.to_out.0 (to_out.1=Dropout)
+        self.attn1.to_out = nn.ModuleList([nn.Linear(inner, dim)])
+        self.norm2 = nn.ModuleDict(
+            dict(linear=nn.Linear(time_embed_dim, 6 * dim), norm=nn.LayerNorm(dim, eps=1e-5))
+        )
+        self.ff = nn.ModuleDict()
+        self.ff.net = nn.ModuleList(
+            [nn.ModuleDict(dict(proj=nn.Linear(dim, 4 * dim))), nn.Linear(4 * dim, dim)]
+        )
+        # key-name shim: diffusers ff.net = [GELU(proj), Dropout, Linear] so
+        # the final linear is ff.net.2 — rename our index-1 entry on export
+        self._ff_out_key = "ff.net.2"
+
+    def _ln_zero(self, mod, h, e, temb):
+        six = mod.linear(torch.nn.functional.silu(temb))
+        shift, scale, gate, e_shift, e_scale, e_gate = six.chunk(6, dim=1)
+        h = mod.norm(h) * (1 + scale)[:, None] + shift[:, None]
+        e = mod.norm(e) * (1 + e_scale)[:, None] + e_shift[:, None]
+        return h, e, gate[:, None], e_gate[:, None]
+
+    def forward(self, hidden, enc, temb, rope):
+        b, st = hidden.shape[0], enc.shape[1]
+        h_n, e_n, gate, e_gate = self._ln_zero(self.norm1, hidden, enc, temb)
+        x = torch.cat([e_n, h_n], dim=1)
+        s = x.shape[1]
+
+        def heads_first(t):
+            return t.view(b, s, self.heads, self.head_dim).transpose(1, 2)
+
+        q = self.attn1.norm_q(heads_first(self.attn1.to_q(x)))
+        k = self.attn1.norm_k(heads_first(self.attn1.to_k(x)))
+        v = heads_first(self.attn1.to_v(x))
+        if rope is not None:
+            cos, sin = rope
+            q = torch.cat([q[:, :, :st], _t_apply_rope(q[:, :, st:], cos, sin)], dim=2)
+            k = torch.cat([k[:, :, :st], _t_apply_rope(k[:, :, st:], cos, sin)], dim=2)
+        out = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        out = out.transpose(1, 2).reshape(b, s, -1)
+        out = self.attn1.to_out[0](out)
+        hidden = hidden + gate * out[:, st:]
+        enc = enc + e_gate * out[:, :st]
+
+        h_n, e_n, gate, e_gate = self._ln_zero(self.norm2, hidden, enc, temb)
+        x = torch.cat([e_n, h_n], dim=1)
+        ff = self.ff.net[1](torch.nn.functional.gelu(self.ff.net[0].proj(x), approximate="tanh"))
+        hidden = hidden + gate * ff[:, st:]
+        enc = enc + e_gate * ff[:, :st]
+        return hidden, enc
+
+
+class _TCogVideoX(torch.nn.Module):
+    """Reduced-config diffusers CogVideoXTransformer3DModel: patch_embed
+    (Conv2d per frame + text_proj, text tokens first), sinusoid timestep ->
+    2-linear MLP, N blocks, norm_final over the joint sequence, AdaLayerNorm
+    out (affine inner LN, shift-then-scale chunk order), proj_out."""
+
+    def __init__(self, in_ch, out_ch, dim, depth, heads, head_dim, text_d, t_d, p=2):
+        super().__init__()
+        nn = torch.nn
+        self.p, self.t_d, self.out_ch = p, t_d, out_ch
+        self.patch_embed = nn.ModuleDict(
+            dict(proj=nn.Conv2d(in_ch, dim, p, stride=p), text_proj=nn.Linear(text_d, dim))
+        )
+        self.time_embedding = nn.ModuleDict(
+            dict(linear_1=nn.Linear(dim, t_d), linear_2=nn.Linear(t_d, t_d))
+        )
+        self.transformer_blocks = nn.ModuleList(
+            [_TCogBlock(dim, heads, head_dim, t_d) for _ in range(depth)]
+        )
+        self.head_dim = head_dim
+        self.norm_final = nn.LayerNorm(dim, eps=1e-5)
+        self.norm_out = nn.ModuleDict(
+            dict(linear=nn.Linear(t_d, 2 * dim), norm=nn.LayerNorm(dim, eps=1e-5))
+        )
+        self.proj_out = nn.Linear(dim, p * p * out_ch)
+
+    def _timesteps(self, t, dim):
+        half = dim // 2
+        freqs = torch.exp(-torch.log(torch.tensor(10000.0)) * torch.arange(half).float() / half)
+        args = t.float()[:, None] * freqs[None]
+        return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)  # flip_sin_to_cos
+
+    def forward(self, latents, text, timestep):
+        # latents [b, f, c, h, w] (torch channel order), text [b, st, text_d]
+        b, f, c, h, w = latents.shape
+        p = self.p
+        x = self.patch_embed.proj(latents.reshape(b * f, c, h, w))
+        x = x.flatten(2).transpose(1, 2).reshape(b, -1, x.shape[1])  # [b, f*ph*pw, dim]
+        e = self.patch_embed.text_proj(text)
+
+        temb = self._timesteps(timestep, x.shape[-1])
+        temb = self.time_embedding.linear_2(
+            torch.nn.functional.silu(self.time_embedding.linear_1(temb))
+        )
+        rope = _t_rope_3d(self.head_dim, f, h // p, w // p)
+
+        hidden, enc = x, e
+        for blk in self.transformer_blocks:
+            hidden, enc = blk(hidden, enc, temb, rope)
+
+        st = enc.shape[1]
+        joint = self.norm_final(torch.cat([enc, hidden], dim=1))
+        hidden = joint[:, st:]
+        two = self.norm_out.linear(torch.nn.functional.silu(temb))
+        shift, scale = two.chunk(2, dim=1)
+        hidden = self.norm_out.norm(hidden) * (1 + scale)[:, None] + shift[:, None]
+        out = self.proj_out(hidden)
+
+        ph, pw = h // p, w // p
+        out = out.reshape(b, f, ph, pw, p, p, self.out_ch)
+        out = out.permute(0, 1, 6, 2, 4, 3, 5).reshape(b, f, self.out_ch, h, w)
+        return out
+
+
+@pytest.mark.slow
+def test_cogvideox_dit_activation_parity():
+    """Reduced-config CogVideoX DiT: torch (diffusers structure + exact
+    checkpoint key names) vs our Flax CogVideoXTransformer3D via
+    port_cogvideox_transformer — same weights, same inputs, same output."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+    from motionrag_tpu.utils.porting_diffusion import port_cogvideox_transformer
+
+    in_ch, out_ch, dim, depth, heads, hd, text_d, t_d = 8, 4, 64, 2, 4, 16, 32, 32
+    tm = _TCogVideoX(in_ch, out_ch, dim, depth, heads, hd, text_d, t_d)
+    _randomize(tm, seed=3)
+
+    # export with diffusers key names (rename ff.net.1 -> ff.net.2)
+    sd = {}
+    for k, v in tm.state_dict().items():
+        sd[k.replace("ff.net.1.", "ff.net.2.")] = v
+    ported = port_cogvideox_transformer(sd, depth=depth, strict=True)
+
+    dit = CogVideoXTransformer3D(
+        in_channels=in_ch, out_channels=out_ch, dim=dim, depth=depth,
+        heads=heads, head_dim=hd, text_embed_dim=text_d, time_embed_dim=t_d,
+        dtype=jnp.float32,
+    )
+
+    rng = np.random.default_rng(0)
+    lat = rng.standard_normal((2, 3, in_ch, 4, 6), dtype=np.float32)  # b f c h w
+    txt = rng.standard_normal((2, 5, text_d), dtype=np.float32)
+    ts = np.asarray([17, 431], dtype=np.int64)
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(lat), torch.from_numpy(txt), torch.from_numpy(ts))
+    out_j = dit.apply(
+        ported, jnp.asarray(lat.transpose(0, 1, 3, 4, 2)), jnp.asarray(txt),
+        jnp.asarray(ts),
+    )
+    out_j = np.asarray(out_j).transpose(0, 1, 4, 2, 3)
+    np.testing.assert_allclose(out_j, out_t.numpy(), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SVD UNet: independent torch re-implementation (diffusers
+# UNetSpatioTemporalConditionModel structure + checkpoint key names,
+# reference ``svd/module.py:37-47`` loads it via diffusers) vs our
+# UNetSpatioTemporal through port_svd_unet.
+# ---------------------------------------------------------------------------
+
+
+def _t_sinusoid(t, dim):
+    """diffusers Timesteps, flip_sin_to_cos=True, downscale_freq_shift=0."""
+    half = dim // 2
+    freqs = torch.exp(-torch.log(torch.tensor(10000.0)) * torch.arange(half).float() / half)
+    args = t.float()[:, None] * freqs[None]
+    return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+
+class _TGEGLUFF(torch.nn.Module):
+    """diffusers FeedForward(geglu): net.0=GEGLU(proj), net.1=Dropout,
+    net.2=Linear — exported via the net.1->net.2 rename shim."""
+
+    def __init__(self, dim, mult=4):
+        super().__init__()
+        nn = torch.nn
+        self.net = nn.ModuleList(
+            [nn.ModuleDict(dict(proj=nn.Linear(dim, dim * mult * 2))), nn.Linear(dim * mult, dim)]
+        )
+
+    def forward(self, x):
+        h, gate = self.net[0].proj(x).chunk(2, dim=-1)
+        return self.net[1](h * torch.nn.functional.gelu(gate))
+
+
+class _TDAttn(torch.nn.Module):
+    """diffusers Attention: bias-free qkv, to_out.0 linear."""
+
+    def __init__(self, q_dim, ctx_dim, heads, head_dim):
+        super().__init__()
+        nn = torch.nn
+        inner = heads * head_dim
+        self.heads, self.head_dim = heads, head_dim
+        self.to_q = nn.Linear(q_dim, inner, bias=False)
+        self.to_k = nn.Linear(ctx_dim or q_dim, inner, bias=False)
+        self.to_v = nn.Linear(ctx_dim or q_dim, inner, bias=False)
+        self.to_out = nn.ModuleList([nn.Linear(inner, q_dim)])
+
+    def forward(self, x, context=None):
+        ctx = x if context is None else context
+        b, s = x.shape[0], x.shape[1]
+
+        def hf(t):
+            return t.view(b, -1, self.heads, self.head_dim).transpose(1, 2)
+
+        out = torch.nn.functional.scaled_dot_product_attention(
+            hf(self.to_q(x)), hf(self.to_k(ctx)), hf(self.to_v(ctx))
+        )
+        return self.to_out[0](out.transpose(1, 2).reshape(b, s, -1))
+
+
+class _TBasicBlock(torch.nn.Module):
+    def __init__(self, dim, heads, head_dim, ctx_dim):
+        super().__init__()
+        nn = torch.nn
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn1 = _TDAttn(dim, None, heads, head_dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.attn2 = _TDAttn(dim, ctx_dim, heads, head_dim)
+        self.norm3 = nn.LayerNorm(dim)
+        self.ff = _TGEGLUFF(dim)
+
+    def forward(self, x, context):
+        x = x + self.attn1(self.norm1(x))
+        x = x + self.attn2(self.norm2(x), context)
+        return x + self.ff(self.norm3(x))
+
+
+class _TTemporalBlock(torch.nn.Module):
+    """diffusers TemporalBasicTransformerBlock (is_res: dim == inner)."""
+
+    def __init__(self, dim, heads, head_dim, ctx_dim):
+        super().__init__()
+        nn = torch.nn
+        self.norm_in = nn.LayerNorm(dim)
+        self.ff_in = _TGEGLUFF(dim)
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn1 = _TDAttn(dim, None, heads, head_dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.attn2 = _TDAttn(dim, ctx_dim, heads, head_dim)
+        self.norm3 = nn.LayerNorm(dim)
+        self.ff = _TGEGLUFF(dim)
+
+    def forward(self, x, context):
+        x = x + self.ff_in(self.norm_in(x))
+        x = x + self.attn1(self.norm1(x))
+        x = x + self.attn2(self.norm2(x), context)
+        return x + self.ff(self.norm3(x))
+
+
+class _TAlpha(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.mix_factor = torch.nn.Parameter(torch.tensor([0.5]))
+
+    def alpha(self):
+        return torch.sigmoid(self.mix_factor)
+
+
+class _TResnet2D(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, temb_dim, eps=1e-5):
+        super().__init__()
+        nn = torch.nn
+        self.norm1 = nn.GroupNorm(32, in_ch, eps=eps)
+        self.conv1 = nn.Conv2d(in_ch, out_ch, 3, padding=1)
+        self.time_emb_proj = nn.Linear(temb_dim, out_ch)
+        self.norm2 = nn.GroupNorm(32, out_ch, eps=eps)
+        self.conv2 = nn.Conv2d(out_ch, out_ch, 3, padding=1)
+        self.conv_shortcut = nn.Conv2d(in_ch, out_ch, 1) if in_ch != out_ch else None
+
+    def forward(self, x, temb):
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        h = h + self.time_emb_proj(torch.nn.functional.silu(temb))[:, :, None, None]
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        return h + (self.conv_shortcut(x) if self.conv_shortcut is not None else x)
+
+
+class _TTemporalResnet(torch.nn.Module):
+    """diffusers TemporalResnetBlock: (3,1,1) convs over [b, c, f, h, w]."""
+
+    def __init__(self, in_ch, out_ch, temb_dim, eps=1e-5):
+        super().__init__()
+        nn = torch.nn
+        self.norm1 = nn.GroupNorm(32, in_ch, eps=eps)
+        self.conv1 = nn.Conv3d(in_ch, out_ch, (3, 1, 1), padding=(1, 0, 0))
+        self.time_emb_proj = nn.Linear(temb_dim, out_ch)
+        self.norm2 = nn.GroupNorm(32, out_ch, eps=eps)
+        self.conv2 = nn.Conv3d(out_ch, out_ch, (3, 1, 1), padding=(1, 0, 0))
+        self.conv_shortcut = nn.Conv3d(in_ch, out_ch, 1) if in_ch != out_ch else None
+
+    def forward(self, x, temb):
+        # temb [b, f, temb_dim]
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        t = self.time_emb_proj(torch.nn.functional.silu(temb))  # [b, f, c]
+        h = h + t.permute(0, 2, 1)[:, :, :, None, None]
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        return h + (self.conv_shortcut(x) if self.conv_shortcut is not None else x)
+
+
+class _TSTRes(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, temb_dim):
+        super().__init__()
+        self.spatial_res_block = _TResnet2D(in_ch, out_ch, temb_dim)
+        self.temporal_res_block = _TTemporalResnet(out_ch, out_ch, temb_dim)
+        self.time_mixer = _TAlpha()
+
+    def forward(self, x, temb, f):
+        h = self.spatial_res_block(x, temb)
+        bf, c, hh, ww = h.shape
+        b = bf // f
+        h5 = h.reshape(b, f, c, hh, ww).permute(0, 2, 1, 3, 4)
+        t5 = self.temporal_res_block(h5, temb.reshape(b, f, -1))
+        a = self.time_mixer.alpha()
+        out = a * h5 + (1 - a) * t5
+        return out.permute(0, 2, 1, 3, 4).reshape(bf, c, hh, ww)
+
+
+class _TSTTransformer(torch.nn.Module):
+    """diffusers TransformerSpatioTemporalModel (depth 1)."""
+
+    def __init__(self, c, heads, ctx_dim):
+        super().__init__()
+        nn = torch.nn
+        self.c = c
+        self.norm = nn.GroupNorm(32, c, eps=1e-6)
+        self.proj_in = nn.Linear(c, c)
+        self.transformer_blocks = nn.ModuleList([_TBasicBlock(c, heads, c // heads, ctx_dim)])
+        self.temporal_transformer_blocks = nn.ModuleList(
+            [_TTemporalBlock(c, heads, c // heads, ctx_dim)]
+        )
+        self.time_pos_embed = nn.ModuleDict(
+            dict(linear_1=nn.Linear(c, 4 * c), linear_2=nn.Linear(4 * c, c))
+        )
+        self.time_mixer = _TAlpha()
+        self.proj_out = nn.Linear(c, c)
+
+    def forward(self, x, context, f):
+        bf, c, hh, ww = x.shape
+        b = bf // f
+        residual = x
+        h = self.norm(x).permute(0, 2, 3, 1).reshape(bf, hh * ww, c)
+        h = self.proj_in(h)
+
+        emb = self.time_pos_embed.linear_2(
+            torch.nn.functional.silu(self.time_pos_embed.linear_1(_t_sinusoid(torch.arange(f), c)))
+        )  # [f, c]
+        tc = context.reshape(b, f, *context.shape[1:])[:, 0]  # first frame's ctx
+        tc = tc[:, None].expand(b, hh * ww, *tc.shape[1:]).reshape(b * hh * ww, *tc.shape[1:])
+
+        h = self.transformer_blocks[0](h, context)
+        mix = h.reshape(b, f, hh * ww, c).permute(0, 2, 1, 3).reshape(b * hh * ww, f, c)
+        mix = mix + emb[None]
+        mix = self.temporal_transformer_blocks[0](mix, tc)
+        mix = mix.reshape(b, hh * ww, f, c).permute(0, 2, 1, 3).reshape(bf, hh * ww, c)
+        a = self.time_mixer.alpha()
+        h = a * h + (1 - a) * mix
+        h = self.proj_out(h)
+        return h.reshape(bf, hh, ww, c).permute(0, 3, 1, 2) + residual
+
+
+class _TSVDUNet(torch.nn.Module):
+    def __init__(self, in_ch=8, out_ch=4, chans=(32, 64, 64, 64), layers=1,
+                 ctx_dim=48, heads=(1, 2, 2, 2), addt=32):
+        super().__init__()
+        nn = torch.nn
+        ch0, temb = chans[0], 4 * chans[0]
+        self.addt, self.ch0 = addt, ch0
+        self.conv_in = nn.Conv2d(in_ch, ch0, 3, padding=1)
+        self.time_embedding = nn.ModuleDict(
+            dict(linear_1=nn.Linear(ch0, temb), linear_2=nn.Linear(temb, temb))
+        )
+        self.add_embedding = nn.ModuleDict(
+            dict(linear_1=nn.Linear(3 * addt, temb), linear_2=nn.Linear(temb, temb))
+        )
+
+        self.layers = layers
+        skip_chans = [ch0]
+        self.down_blocks = nn.ModuleList()
+        prev = ch0
+        for i, c in enumerate(chans):
+            final = i == len(chans) - 1
+            blk = nn.ModuleDict(dict(resnets=nn.ModuleList(), attentions=nn.ModuleList()))
+            for j in range(layers):
+                blk.resnets.append(_TSTRes(prev if j == 0 else c, c, temb))
+                if not final:
+                    blk.attentions.append(_TSTTransformer(c, heads[i], ctx_dim))
+                skip_chans.append(c)
+            if not final:
+                blk.downsamplers = nn.ModuleList(
+                    [nn.ModuleDict(dict(conv=nn.Conv2d(c, c, 3, stride=2, padding=1)))]
+                )
+                skip_chans.append(c)
+            self.down_blocks.append(blk)
+            prev = c
+
+        self.mid_block = nn.ModuleDict(
+            dict(
+                resnets=nn.ModuleList(
+                    [_TSTRes(chans[-1], chans[-1], temb), _TSTRes(chans[-1], chans[-1], temb)]
+                ),
+                attentions=nn.ModuleList([_TSTTransformer(chans[-1], heads[-1], ctx_dim)]),
+            )
+        )
+
+        self.up_blocks = nn.ModuleList()
+        rev = list(reversed(chans))
+        rheads = list(reversed(heads))
+        prev = chans[-1]
+        for i, c in enumerate(rev):
+            first = i == 0
+            blk = nn.ModuleDict(dict(resnets=nn.ModuleList(), attentions=nn.ModuleList()))
+            for j in range(layers + 1):
+                skip = skip_chans.pop()
+                blk.resnets.append(_TSTRes(prev + skip, c, temb))
+                prev = c
+                if not first:
+                    blk.attentions.append(_TSTTransformer(c, rheads[i], ctx_dim))
+            if i < len(chans) - 1:
+                blk.upsamplers = nn.ModuleList(
+                    [nn.ModuleDict(dict(conv=nn.Conv2d(c, c, 3, padding=1)))]
+                )
+            self.up_blocks.append(blk)
+
+        self.conv_norm_out = nn.GroupNorm(32, ch0, eps=1e-5)
+        self.conv_out = nn.Conv2d(ch0, out_ch, 3, padding=1)
+
+    def forward(self, sample, timestep, context, added_time_ids):
+        # sample [b, f, c, h, w]; context [b, n, ctx]; ids [b, 3]
+        b, f = sample.shape[:2]
+        temb = self.time_embedding.linear_2(
+            torch.nn.functional.silu(self.time_embedding.linear_1(_t_sinusoid(timestep, self.ch0)))
+        )
+        aug = _t_sinusoid(added_time_ids.flatten(), self.addt).reshape(b, -1)
+        temb = temb + self.add_embedding.linear_2(
+            torch.nn.functional.silu(self.add_embedding.linear_1(aug))
+        )
+
+        x = sample.flatten(0, 1)
+        temb = temb.repeat_interleave(f, dim=0)
+        context = context.repeat_interleave(f, dim=0)
+
+        x = self.conv_in(x)
+        residuals = [x]
+        for blk in self.down_blocks:
+            for j, res in enumerate(blk.resnets):
+                x = res(x, temb, f)
+                if len(blk.attentions):
+                    x = blk.attentions[j](x, context, f)
+                residuals.append(x)
+            if hasattr(blk, "downsamplers"):
+                x = blk.downsamplers[0].conv(x)
+                residuals.append(x)
+
+        x = self.mid_block.resnets[0](x, temb, f)
+        x = self.mid_block.attentions[0](x, context, f)
+        x = self.mid_block.resnets[1](x, temb, f)
+
+        for i, blk in enumerate(self.up_blocks):
+            for j, res in enumerate(blk.resnets):
+                x = torch.cat([x, residuals.pop()], dim=1)
+                x = res(x, temb, f)
+                if len(blk.attentions):
+                    x = blk.attentions[j](x, context, f)
+            if hasattr(blk, "upsamplers"):
+                x = torch.nn.functional.interpolate(x, scale_factor=2.0, mode="nearest")
+                x = blk.upsamplers[0].conv(x)
+
+        x = self.conv_out(torch.nn.functional.silu(self.conv_norm_out(x)))
+        return x.reshape(b, f, *x.shape[1:])
+
+
+@pytest.mark.slow
+def test_svd_unet_activation_parity():
+    """Reduced-width SVD UNet: torch (diffusers structure + exact checkpoint
+    key names) vs our Flax UNetSpatioTemporal via port_svd_unet — same
+    weights, same inputs, same output."""
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.svd.unet import UNetSpatioTemporal
+    from motionrag_tpu.utils.porting_diffusion import port_svd_unet
+
+    in_ch, out_ch, ctx = 8, 4, 48
+    tm = _TSVDUNet(in_ch, out_ch, chans=(32, 64, 64, 64), layers=1,
+                   ctx_dim=ctx, heads=(1, 2, 2, 2))
+    _randomize(tm, seed=5, scale=0.05)
+
+    sd = {}
+    for k, v in tm.state_dict().items():
+        sd[k.replace(".net.1.", ".net.2.")] = v
+    ported = port_svd_unet(sd, layers_per_block=1, strict=True)
+
+    unet = UNetSpatioTemporal(
+        in_channels=in_ch, out_channels=out_ch, block_out_channels=(32, 64, 64, 64),
+        layers_per_block=1, cross_attention_dim=ctx, num_attention_heads=(1, 2, 2, 2),
+        addition_time_embed_dim=32, dtype=jnp.float32,
+    )
+
+    rng = np.random.default_rng(1)
+    f, h, w = 3, 16, 16
+    sample = rng.standard_normal((1, f, in_ch, h, w), dtype=np.float32)
+    context = rng.standard_normal((1, 1, ctx), dtype=np.float32)
+    ids = np.asarray([[6.0, 127.0, 0.02]], dtype=np.float32)
+    ts = np.asarray([441.0], dtype=np.float32)
+
+    with torch.no_grad():
+        out_t = tm(
+            torch.from_numpy(sample), torch.from_numpy(ts),
+            torch.from_numpy(context), torch.from_numpy(ids),
+        )
+    out_j = unet.apply(
+        ported, jnp.asarray(sample.transpose(0, 1, 3, 4, 2)), jnp.asarray(ts),
+        jnp.asarray(context), jnp.asarray(ids),
+    )
+    out_j = np.asarray(out_j).transpose(0, 1, 4, 2, 3)
+    np.testing.assert_allclose(out_j, out_t.numpy(), rtol=3e-4, atol=3e-4)

@@ -41,6 +41,8 @@ def test_cogvideox_converter_structural():
         "norm_final.bias": torch.randn(dim, generator=g),
         "norm_out.linear.weight": lin(t_d, 2 * dim),
         "norm_out.linear.bias": torch.randn(2 * dim, generator=g),
+        "norm_out.norm.weight": torch.randn(dim, generator=g),
+        "norm_out.norm.bias": torch.randn(dim, generator=g),
         "proj_out.weight": lin(dim, 2 * 2 * 4),
         "proj_out.bias": torch.randn(2 * 2 * 4, generator=g),
     }
@@ -50,8 +52,12 @@ def test_cogvideox_converter_structural():
         sd.update({
             f"{pre}.norm1.linear.weight": lin(t_d, 6 * dim),
             f"{pre}.norm1.linear.bias": torch.randn(6 * dim, generator=g),
+            f"{pre}.norm1.norm.weight": torch.randn(dim, generator=g),
+            f"{pre}.norm1.norm.bias": torch.randn(dim, generator=g),
             f"{pre}.norm2.linear.weight": lin(t_d, 6 * dim),
             f"{pre}.norm2.linear.bias": torch.randn(6 * dim, generator=g),
+            f"{pre}.norm2.norm.weight": torch.randn(dim, generator=g),
+            f"{pre}.norm2.norm.bias": torch.randn(dim, generator=g),
             f"{pre}.attn1.to_q.weight": lin(dim, inner),
             f"{pre}.attn1.to_q.bias": torch.randn(inner, generator=g),
             f"{pre}.attn1.to_k.weight": lin(dim, inner),
@@ -76,10 +82,17 @@ def test_cogvideox_converter_structural():
     flat_ref = jax.tree_util.tree_flatten_with_path(ref["params"])[0]
     ref_shapes = {tuple(str(k) for k in path): leaf.shape for path, leaf in flat_ref}
     flat_new = jax.tree_util.tree_flatten_with_path(ported["params"])[0]
+    new_keys = set()
     for path, leaf in flat_new:
         key = tuple(str(k) for k in path)
+        new_keys.add(key)
         assert key in ref_shapes, f"converter produced unknown param {key}"
         assert ref_shapes[key] == leaf.shape, f"shape mismatch at {key}"
+    # and the converter must COVER the whole module tree — a missing mapping
+    # (e.g. the norm1.norm affine weights) silently zero-initializes on a
+    # strict=False restore and wrecks real-checkpoint activations
+    missing = set(ref_shapes) - new_keys
+    assert not missing, f"converter leaves {sorted(missing)[:8]} unported"
 
     # forward runs with the ported tree
     out = dit.apply(ported, x, text, jnp.asarray([100]))
