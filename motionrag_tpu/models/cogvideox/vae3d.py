@@ -65,22 +65,79 @@ class CausalConv3d(nn.Module):
         )(x)
 
 
-class ResnetBlock3D(nn.Module):
-    out_channels: int
+def _nearest_resize_to(zq, t, h, w):
+    """Nearest-neighbor upscale of [b, tz, hz, wz, c] to (t, h, w). Decoder
+    factors are always integer, so torch's F.interpolate(nearest) index map
+    floor(i*in/out) reduces to jnp.repeat — broadcast+reshape, NOT a gather
+    (gather-based nearest resize is a 10x VAE slowdown on TPU)."""
+    b, tz, hz, wz, c = zq.shape
+    assert t % tz == 0 and h % hz == 0 and w % wz == 0, (zq.shape, (t, h, w))
+    if t != tz:
+        zq = jnp.repeat(zq, t // tz, axis=1)
+    if h != hz:
+        zq = jnp.repeat(zq, h // hz, axis=2)
+    if w != wz:
+        zq = jnp.repeat(zq, w // wz, axis=3)
+    return zq
+
+
+class SpatialNorm3D(nn.Module):
+    """CogVideoXSpatialNorm3D (MOVQ-style, diffusers
+    autoencoder_kl_cogvideox): GroupNorm(f) modulated by 1x1x1 causal convs
+    of the (unscaled) latent zq, nearest-resized to f's resolution with the
+    first-frame split for odd frame counts."""
+
+    channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, chunked: bool = False):
+    def __call__(self, f, zq):
+        t, h, w = f.shape[1:4]
+        if t > 1 and t % 2 == 1:
+            zq = jnp.concatenate(
+                [
+                    _nearest_resize_to(zq[:, :1], 1, h, w),
+                    _nearest_resize_to(zq[:, 1:], t - 1, h, w),
+                ],
+                axis=1,
+            )
+        else:
+            zq = _nearest_resize_to(zq, t, h, w)
+        conv_y = CausalConv3d(self.channels, (1, 1, 1), dtype=self.dtype, name="conv_y")(zq)
+        conv_b = CausalConv3d(self.channels, (1, 1, 1), dtype=self.dtype, name="conv_b")(zq)
+        s = self.param("norm_layer_scale", nn.initializers.ones, (f.shape[-1],))
+        b = self.param("norm_layer_bias", nn.initializers.zeros, (f.shape[-1],))
+        normed = group_norm(f, self.groups, s, b, eps=1e-6)
+        return normed * conv_y + conv_b
+
+
+class ResnetBlock3D(nn.Module):
+    """``spatial_norm=True`` (the decoder) replaces the plain GroupNorms with
+    zq-conditioned :class:`SpatialNorm3D` — real AutoencoderKLCogVideoX
+    decoder checkpoints carry norm{1,2}.norm_layer/conv_y/conv_b weights."""
+
+    out_channels: int
+    groups: int = 32
+    spatial_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, chunked: bool = False, zq=None):
         in_ch = x.shape[-1]
         residual = x
-        s1 = self.param("norm1_scale", nn.initializers.ones, (in_ch,))
-        b1 = self.param("norm1_bias", nn.initializers.zeros, (in_ch,))
-        h = group_norm(x, self.groups, s1, b1, eps=1e-6, act="silu")
+
+        def norm(name, h, ch):
+            if self.spatial_norm:
+                h = SpatialNorm3D(h.shape[-1], self.groups, dtype=self.dtype, name=name)(h, zq)
+                return nn.silu(h)
+            s = self.param(f"{name}_scale", nn.initializers.ones, (ch,))
+            b = self.param(f"{name}_bias", nn.initializers.zeros, (ch,))
+            return group_norm(h, self.groups, s, b, eps=1e-6, act="silu")
+
+        h = norm("norm1", x, in_ch)
         h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h, chunked)
-        s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
-        b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
-        h = group_norm(h, self.groups, s2, b2, eps=1e-6, act="silu")
+        h = norm("norm2", h, self.out_channels)
         h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h, chunked)
         if in_ch != self.out_channels:
             residual = CausalConv3d(
@@ -191,25 +248,29 @@ class VAE3DDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, chunked: bool = False):
+        # the (unscaled) latent conditions every decoder norm (MOVQ-style
+        # CogVideoXSpatialNorm3D — diffusers autoencoder_kl_cogvideox)
+        zq = z
         ch = self.block_out_channels[-1]
         x = CausalConv3d(ch, dtype=self.dtype, name="conv_in")(z, chunked)
-        x = ResnetBlock3D(ch, dtype=self.dtype, name="mid_res_0")(x, chunked)
-        x = ResnetBlock3D(ch, dtype=self.dtype, name="mid_res_1")(x, chunked)
+        x = ResnetBlock3D(ch, spatial_norm=True, dtype=self.dtype,
+                          name="mid_res_0")(x, chunked, zq)
+        x = ResnetBlock3D(ch, spatial_norm=True, dtype=self.dtype,
+                          name="mid_res_1")(x, chunked, zq)
         rev = list(reversed(self.block_out_channels))
         n = len(rev)
         for i, out_ch in enumerate(rev):
             for j in range(self.layers_per_block + 1):
-                x = ResnetBlock3D(out_ch, dtype=self.dtype, name=f"up_{i}_res_{j}")(x, chunked)
+                x = ResnetBlock3D(out_ch, spatial_norm=True, dtype=self.dtype,
+                                  name=f"up_{i}_res_{j}")(x, chunked, zq)
             if i < n - 1:
                 # temporal expansion mirrors encoder compression (last blocks)
                 x = Upsample3D(
                     out_ch, compress_time=i >= n - 1 - self.temporal_compress_blocks,
                     dtype=self.dtype, name=f"up_{i}_upsample",
                 )(x)
-        ch0 = self.block_out_channels[0]
-        s = self.param("norm_out_scale", nn.initializers.ones, (ch0,))
-        b = self.param("norm_out_bias", nn.initializers.zeros, (ch0,))
-        x = group_norm(x, 32, s, b, eps=1e-6, act="silu")
+        x = SpatialNorm3D(x.shape[-1], dtype=self.dtype, name="norm_out")(x, zq)
+        x = nn.silu(x)
         return CausalConv3d(self.out_channels, dtype=self.dtype, name="conv_out")(x, chunked)
 
 

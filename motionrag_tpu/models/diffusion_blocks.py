@@ -316,11 +316,15 @@ class AlphaBlender(nn.Module):
 
 
 class SpatioTemporalResBlock(nn.Module):
-    """Spatial ResNet (per-frame) + temporal ResNet, alpha-blended."""
+    """Spatial ResNet (per-frame) + temporal ResNet, alpha-blended.
+
+    ``temporal_eps``: diffusers' TemporalDecoder builds these with spatial
+    eps 1e-6 but temporal eps 1e-5; None means "same as eps" (the UNet)."""
 
     out_channels: int
     temb_dim: Optional[int] = None
     eps: float = 1e-5
+    temporal_eps: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -335,7 +339,9 @@ class SpatioTemporalResBlock(nn.Module):
         h_t = h.reshape(b, num_frames, hh, ww, c)
         temb_t = temb.reshape(b, num_frames, -1) if temb is not None else None
         t_out = TemporalResnetBlock(
-            self.out_channels, self.temb_dim, eps=self.eps, dtype=self.dtype,
+            self.out_channels, self.temb_dim,
+            eps=self.temporal_eps if self.temporal_eps is not None else self.eps,
+            dtype=self.dtype,
             name="temporal_res_block",
         )(h_t, temb_t)
         out = AlphaBlender(name="time_mixer")(h_t, t_out)

@@ -92,11 +92,11 @@ class TemporalVAEDecoder(nn.Module):
         ch = self.block_out_channels[-1]
         x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
 
-        x = SpatioTemporalResBlock(ch, None, eps=1e-6, dtype=self.dtype, name="mid_res_0")(
+        x = SpatioTemporalResBlock(ch, None, eps=1e-6, temporal_eps=1e-5, dtype=self.dtype, name="mid_res_0")(
             x, None, num_frames
         )
         x = AttnBlock2D(ch, dtype=self.dtype, name="mid_attn")(x)
-        x = SpatioTemporalResBlock(ch, None, eps=1e-6, dtype=self.dtype, name="mid_res_1")(
+        x = SpatioTemporalResBlock(ch, None, eps=1e-6, temporal_eps=1e-5, dtype=self.dtype, name="mid_res_1")(
             x, None, num_frames
         )
 
@@ -104,7 +104,8 @@ class TemporalVAEDecoder(nn.Module):
         for i, out_ch in enumerate(rev):
             for j in range(self.layers_per_block):
                 x = SpatioTemporalResBlock(
-                    out_ch, None, eps=1e-6, dtype=self.dtype, name=f"up_{i}_res_{j}"
+                    out_ch, None, eps=1e-6, temporal_eps=1e-5, dtype=self.dtype,
+                    name=f"up_{i}_res_{j}"
                 )(x, None, num_frames)
             if i < len(rev) - 1:
                 from motionrag_tpu.models.diffusion_blocks import nearest_upsample_2x

@@ -61,6 +61,11 @@ class QuantizedTreeCache:
         self._n = -1
         self._value = None
 
+    @property
+    def tree(self):
+        """The current quantized tree (None before the first get)."""
+        return self._value
+
     def get(self, tree, include, exclude):
         leaves = jax.tree_util.tree_leaves(tree)
         anchor = leaves[0] if leaves else None

@@ -565,6 +565,177 @@ def port_svd_unet(sd: dict, layers_per_block: int = 2, strict: bool = True) -> d
     return {"params": p}
 
 
+def _port_vae_attention(c, pre):
+    """diffusers VAE mid-block Attention (single head, biased qkv,
+    group_norm) -> our AttnBlock2D leaves."""
+    return {
+        "norm_scale": c(f"{pre}.group_norm.weight"),
+        "norm_bias": c(f"{pre}.group_norm.bias"),
+        "to_q": _linear(c, f"{pre}.to_q"),
+        "to_k": _linear(c, f"{pre}.to_k"),
+        "to_v": _linear(c, f"{pre}.to_v"),
+        "to_out": _linear(c, f"{pre}.to_out.0"),
+    }
+
+
+def _port_temporal_decoder_res(c, pre):
+    """TemporalDecoder SpatioTemporalResBlock: diffusers builds these with
+    merge_strategy='learned' and switch_spatial_to_temporal_mix=True, i.e.
+    out = (1-sigmoid(m))*spatial + sigmoid(m)*temporal. Our AlphaBlender
+    computes sigmoid(m)*spatial + (1-sigmoid(m))*temporal, so the ported
+    mix_factor is NEGATED (1-sigmoid(m) == sigmoid(-m)) — exact, not
+    approximate."""
+    p = _port_spatiotemporal_res(c, pre)
+    p["time_mixer"]["mix_factor"] = -np.asarray(p["time_mixer"]["mix_factor"])
+    return p
+
+
+def port_svd_vae(sd: dict, n_levels: int = 4, enc_blocks: int = 2,
+                 dec_blocks: int = 3, strict: bool = True) -> dict:
+    """diffusers AutoencoderKLTemporalDecoder (SVD's VAE,
+    reference ``svd/module.py:41``) -> our AutoencoderKLTemporalDecoder.
+
+    Encoder is the standard SD KL encoder (+ quant_conv, no post_quant_conv
+    in this variant); decoder is the TemporalDecoder: spatio-temporal
+    resblocks (switched alpha — see _port_temporal_decoder_res), single-head
+    mid attention, nearest-conv upsamplers, and the final (3,1,1)
+    time_conv_out."""
+    c = _Consumer(sd)
+    enc: dict = {
+        "conv_in": {"kernel": _conv(c("encoder.conv_in.weight")), "bias": c("encoder.conv_in.bias")},
+        "mid_res_0": _port_resnet2d(c, "encoder.mid_block.resnets.0"),
+        "mid_attn": _port_vae_attention(c, "encoder.mid_block.attentions.0"),
+        "mid_res_1": _port_resnet2d(c, "encoder.mid_block.resnets.1"),
+        "norm_out_scale": c("encoder.conv_norm_out.weight"),
+        "norm_out_bias": c("encoder.conv_norm_out.bias"),
+        "conv_out": {"kernel": _conv(c("encoder.conv_out.weight")), "bias": c("encoder.conv_out.bias")},
+        "quant_conv": {"kernel": _conv(c("quant_conv.weight")), "bias": c("quant_conv.bias")},
+    }
+    for i in range(n_levels):
+        for j in range(enc_blocks):
+            enc[f"down_{i}_res_{j}"] = _port_resnet2d(c, f"encoder.down_blocks.{i}.resnets.{j}")
+        if c.has(f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"):
+            enc[f"down_{i}_downsample"] = {
+                "conv": {
+                    "kernel": _conv(c(f"encoder.down_blocks.{i}.downsamplers.0.conv.weight")),
+                    "bias": c(f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"),
+                }
+            }
+
+    dec: dict = {
+        "conv_in": {"kernel": _conv(c("decoder.conv_in.weight")), "bias": c("decoder.conv_in.bias")},
+        "mid_res_0": _port_temporal_decoder_res(c, "decoder.mid_block.resnets.0"),
+        "mid_attn": _port_vae_attention(c, "decoder.mid_block.attentions.0"),
+        "mid_res_1": _port_temporal_decoder_res(c, "decoder.mid_block.resnets.1"),
+        "norm_out_scale": c("decoder.conv_norm_out.weight"),
+        "norm_out_bias": c("decoder.conv_norm_out.bias"),
+        "conv_out": {"kernel": _conv(c("decoder.conv_out.weight")), "bias": c("decoder.conv_out.bias")},
+        "time_conv_out": {
+            "kernel": _conv(c("decoder.time_conv_out.weight")),
+            "bias": c("decoder.time_conv_out.bias"),
+        },
+    }
+    for i in range(n_levels):
+        for j in range(dec_blocks):
+            dec[f"up_{i}_res_{j}"] = _port_temporal_decoder_res(
+                c, f"decoder.up_blocks.{i}.resnets.{j}"
+            )
+        if c.has(f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"):
+            dec[f"up_{i}_upsample"] = {
+                "kernel": _conv(c(f"decoder.up_blocks.{i}.upsamplers.0.conv.weight")),
+                "bias": c(f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"),
+            }
+
+    if strict:
+        report_unconsumed(c)
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
+def _causal_conv(c, pre):
+    """CogVideoXCausalConv3d -> our CausalConv3d subtree ({conv: ...})."""
+    return {"conv": {"kernel": _conv(c(f"{pre}.conv.weight")), "bias": c(f"{pre}.conv.bias")}}
+
+
+def _spatial_norm3d(c, pre):
+    """CogVideoXSpatialNorm3D -> our SpatialNorm3D leaves."""
+    return {
+        "norm_layer_scale": c(f"{pre}.norm_layer.weight"),
+        "norm_layer_bias": c(f"{pre}.norm_layer.bias"),
+        "conv_y": _causal_conv(c, f"{pre}.conv_y"),
+        "conv_b": _causal_conv(c, f"{pre}.conv_b"),
+    }
+
+
+def _cog_resnet3d(c, pre, spatial_norm: bool):
+    p: dict = {}
+    if spatial_norm:
+        p["norm1"] = _spatial_norm3d(c, f"{pre}.norm1")
+        p["norm2"] = _spatial_norm3d(c, f"{pre}.norm2")
+    else:
+        p["norm1_scale"] = c(f"{pre}.norm1.weight")
+        p["norm1_bias"] = c(f"{pre}.norm1.bias")
+        p["norm2_scale"] = c(f"{pre}.norm2.weight")
+        p["norm2_bias"] = c(f"{pre}.norm2.bias")
+    p["conv1"] = _causal_conv(c, f"{pre}.conv1")
+    p["conv2"] = _causal_conv(c, f"{pre}.conv2")
+    if c.has(f"{pre}.conv_shortcut.conv.weight"):
+        p["conv_shortcut"] = _causal_conv(c, f"{pre}.conv_shortcut")
+    return p
+
+
+def port_cogvideox_vae(sd: dict, n_levels: int = 4, enc_blocks: int = 3,
+                       dec_blocks: int = 4, strict: bool = True) -> dict:
+    """diffusers AutoencoderKLCogVideoX (reference ``cogvideox/module.py:39``)
+    -> our CogVideoXVAE: causal 3D convs throughout, plain GroupNorms in the
+    encoder, MOVQ-style CogVideoXSpatialNorm3D (zq-conditioned) in the
+    decoder incl. norm_out; no quant/post-quant convs in this family."""
+    c = _Consumer(sd)
+    enc: dict = {
+        "conv_in": _causal_conv(c, "encoder.conv_in"),
+        "mid_res_0": _cog_resnet3d(c, "encoder.mid_block.resnets.0", False),
+        "mid_res_1": _cog_resnet3d(c, "encoder.mid_block.resnets.1", False),
+        "norm_out_scale": c("encoder.norm_out.weight"),
+        "norm_out_bias": c("encoder.norm_out.bias"),
+        "conv_out": _causal_conv(c, "encoder.conv_out"),
+    }
+    for i in range(n_levels):
+        for j in range(enc_blocks):
+            enc[f"down_{i}_res_{j}"] = _cog_resnet3d(
+                c, f"encoder.down_blocks.{i}.resnets.{j}", False
+            )
+        if c.has(f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"):
+            enc[f"down_{i}_downsample"] = {
+                "conv": {
+                    "kernel": _conv(c(f"encoder.down_blocks.{i}.downsamplers.0.conv.weight")),
+                    "bias": c(f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"),
+                }
+            }
+
+    dec: dict = {
+        "conv_in": _causal_conv(c, "decoder.conv_in"),
+        "mid_res_0": _cog_resnet3d(c, "decoder.mid_block.resnets.0", True),
+        "mid_res_1": _cog_resnet3d(c, "decoder.mid_block.resnets.1", True),
+        "norm_out": _spatial_norm3d(c, "decoder.norm_out"),
+        "conv_out": _causal_conv(c, "decoder.conv_out"),
+    }
+    for i in range(n_levels):
+        for j in range(dec_blocks):
+            dec[f"up_{i}_res_{j}"] = _cog_resnet3d(
+                c, f"decoder.up_blocks.{i}.resnets.{j}", True
+            )
+        if c.has(f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"):
+            dec[f"up_{i}_upsample"] = {
+                "conv": {
+                    "kernel": _conv(c(f"decoder.up_blocks.{i}.upsamplers.0.conv.weight")),
+                    "bias": c(f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"),
+                }
+            }
+
+    if strict:
+        report_unconsumed(c)
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
 # ---------------------------------------------------------------------------
 # CompVis/lvdm AutoencoderKL (the DynamiCrafter first stage, SD VAE weights)
 # ---------------------------------------------------------------------------

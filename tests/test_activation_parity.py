@@ -943,3 +943,449 @@ def test_svd_unet_activation_parity():
     )
     out_j = np.asarray(out_j).transpose(0, 1, 4, 2, 3)
     np.testing.assert_allclose(out_j, out_t.numpy(), rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# SVD VAE (AutoencoderKLTemporalDecoder): torch re-implementation (diffusers
+# structure + key names, reference ``svd/module.py:41``) vs ours through
+# port_svd_vae. Decoder spatio-temporal blocks use diffusers'
+# switch_spatial_to_temporal_mix=True semantics (alpha on the TEMPORAL arm).
+# ---------------------------------------------------------------------------
+
+
+class _TVAERes2D(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, eps=1e-6):
+        super().__init__()
+        nn = torch.nn
+        self.norm1 = nn.GroupNorm(32, in_ch, eps=eps)
+        self.conv1 = nn.Conv2d(in_ch, out_ch, 3, padding=1)
+        self.norm2 = nn.GroupNorm(32, out_ch, eps=eps)
+        self.conv2 = nn.Conv2d(out_ch, out_ch, 3, padding=1)
+        self.conv_shortcut = nn.Conv2d(in_ch, out_ch, 1) if in_ch != out_ch else None
+
+    def forward(self, x):
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        return h + (self.conv_shortcut(x) if self.conv_shortcut is not None else x)
+
+
+class _TVAETemporalRes(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, eps=1e-5):
+        super().__init__()
+        nn = torch.nn
+        self.norm1 = nn.GroupNorm(32, in_ch, eps=eps)
+        self.conv1 = nn.Conv3d(in_ch, out_ch, (3, 1, 1), padding=(1, 0, 0))
+        self.norm2 = nn.GroupNorm(32, out_ch, eps=eps)
+        self.conv2 = nn.Conv3d(out_ch, out_ch, (3, 1, 1), padding=(1, 0, 0))
+        self.conv_shortcut = nn.Conv3d(in_ch, out_ch, 1) if in_ch != out_ch else None
+
+    def forward(self, x):
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        return h + (self.conv_shortcut(x) if self.conv_shortcut is not None else x)
+
+
+class _TSwitchedSTRes(torch.nn.Module):
+    """SpatioTemporalResBlock, temb-free, merge_strategy='learned',
+    switch_spatial_to_temporal_mix=True: alpha = 1 - sigmoid(mix_factor)."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.spatial_res_block = _TVAERes2D(in_ch, out_ch, eps=1e-6)
+        self.temporal_res_block = _TVAETemporalRes(out_ch, out_ch, eps=1e-5)
+        self.time_mixer = _TAlpha()
+
+    def forward(self, x, f):
+        h = self.spatial_res_block(x)
+        bf, c, hh, ww = h.shape
+        b = bf // f
+        h5 = h.reshape(b, f, c, hh, ww).permute(0, 2, 1, 3, 4)
+        t5 = self.temporal_res_block(h5)
+        a = 1.0 - torch.sigmoid(self.time_mixer.mix_factor)
+        out = a * h5 + (1 - a) * t5
+        return out.permute(0, 2, 1, 3, 4).reshape(bf, c, hh, ww)
+
+
+class _TVAEAttn(torch.nn.Module):
+    """diffusers VAE mid attention: GroupNorm + single-head biased qkv +
+    to_out.0, residual."""
+
+    def __init__(self, c):
+        super().__init__()
+        nn = torch.nn
+        self.group_norm = nn.GroupNorm(32, c, eps=1e-6)
+        self.to_q = nn.Linear(c, c)
+        self.to_k = nn.Linear(c, c)
+        self.to_v = nn.Linear(c, c)
+        self.to_out = nn.ModuleList([nn.Linear(c, c)])
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        hid = self.group_norm(x).permute(0, 2, 3, 1).reshape(b, h * w, c)
+        out = torch.nn.functional.scaled_dot_product_attention(
+            self.to_q(hid)[:, None], self.to_k(hid)[:, None], self.to_v(hid)[:, None]
+        )[:, 0]
+        out = self.to_out[0](out)
+        return x + out.reshape(b, h, w, c).permute(0, 3, 1, 2)
+
+
+class _TSVDVAE(torch.nn.Module):
+    def __init__(self, chans=(32, 32, 64, 64), latent=4, enc_blocks=2, dec_blocks=3):
+        super().__init__()
+        nn = torch.nn
+        enc = nn.Module()
+        enc.conv_in = nn.Conv2d(3, chans[0], 3, padding=1)
+        enc.down_blocks = nn.ModuleList()
+        prev = chans[0]
+        for i, c in enumerate(chans):
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList()
+            for j in range(enc_blocks):
+                blk.resnets.append(_TVAERes2D(prev if j == 0 else c, c))
+                prev = c
+            if i < len(chans) - 1:
+                ds = nn.Module()
+                # VAE encoder downsample: padding=0 + asymmetric (0,1,0,1) pad
+                ds.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+                blk.downsamplers = nn.ModuleList([ds])
+            enc.down_blocks.append(blk)
+        enc.mid_block = nn.Module()
+        enc.mid_block.resnets = nn.ModuleList(
+            [_TVAERes2D(chans[-1], chans[-1]), _TVAERes2D(chans[-1], chans[-1])]
+        )
+        enc.mid_block.attentions = nn.ModuleList([_TVAEAttn(chans[-1])])
+        enc.conv_norm_out = nn.GroupNorm(32, chans[-1], eps=1e-6)
+        enc.conv_out = nn.Conv2d(chans[-1], 2 * latent, 3, padding=1)
+        self.encoder = enc
+        self.quant_conv = nn.Conv2d(2 * latent, 2 * latent, 1)
+
+        dec = nn.Module()
+        dec.conv_in = nn.Conv2d(latent, chans[-1], 3, padding=1)
+        dec.mid_block = nn.Module()
+        dec.mid_block.resnets = nn.ModuleList(
+            [_TSwitchedSTRes(chans[-1], chans[-1]), _TSwitchedSTRes(chans[-1], chans[-1])]
+        )
+        dec.mid_block.attentions = nn.ModuleList([_TVAEAttn(chans[-1])])
+        dec.up_blocks = nn.ModuleList()
+        rev = list(reversed(chans))
+        prev = chans[-1]
+        for i, c in enumerate(rev):
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList()
+            for j in range(dec_blocks):
+                blk.resnets.append(_TSwitchedSTRes(prev if j == 0 else c, c))
+                prev = c
+            if i < len(rev) - 1:
+                us = nn.Module()
+                us.conv = nn.Conv2d(c, c, 3, padding=1)
+                blk.upsamplers = nn.ModuleList([us])
+            dec.up_blocks.append(blk)
+        dec.conv_norm_out = nn.GroupNorm(32, chans[0], eps=1e-6)
+        dec.conv_out = nn.Conv2d(chans[0], 3, 3, padding=1)
+        dec.time_conv_out = nn.Conv3d(3, 3, (3, 1, 1), padding=(1, 0, 0))
+        self.decoder = dec
+
+    def encode_moments(self, x):
+        e = self.encoder
+        h = e.conv_in(x)
+        for blk in e.down_blocks:
+            for res in blk.resnets:
+                h = res(h)
+            if hasattr(blk, "downsamplers"):
+                h = blk.downsamplers[0].conv(torch.nn.functional.pad(h, (0, 1, 0, 1)))
+        h = e.mid_block.resnets[0](h)
+        h = e.mid_block.attentions[0](h)
+        h = e.mid_block.resnets[1](h)
+        h = e.conv_out(torch.nn.functional.silu(e.conv_norm_out(h)))
+        return self.quant_conv(h)
+
+    def decode(self, z, f):
+        d = self.decoder
+        h = d.conv_in(z)
+        h = d.mid_block.resnets[0](h, f)
+        h = d.mid_block.attentions[0](h)
+        h = d.mid_block.resnets[1](h, f)
+        for i, blk in enumerate(d.up_blocks):
+            for res in blk.resnets:
+                h = res(h, f)
+            if hasattr(blk, "upsamplers"):
+                h = torch.nn.functional.interpolate(h, scale_factor=2.0, mode="nearest")
+                h = blk.upsamplers[0].conv(h)
+        h = d.conv_out(torch.nn.functional.silu(d.conv_norm_out(h)))
+        bf, c, hh, ww = h.shape
+        h5 = h.reshape(bf // f, f, c, hh, ww).permute(0, 2, 1, 3, 4)
+        h5 = d.time_conv_out(h5)
+        return h5.permute(0, 2, 1, 3, 4).reshape(bf, c, hh, ww)
+
+
+@pytest.mark.slow
+def test_svd_vae_activation_parity():
+    """Reduced-width AutoencoderKLTemporalDecoder: torch vs ours via
+    port_svd_vae — encoder moments and temporal decode both match,
+    including the switched time-mixer semantics (negated mix_factor)."""
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.svd.vae import AutoencoderKLTemporalDecoder
+    from motionrag_tpu.utils.porting_diffusion import port_svd_vae
+
+    chans = (32, 32, 64, 64)
+    tm = _TSVDVAE(chans=chans)
+    _randomize(tm, seed=7, scale=0.06)
+    ported = port_svd_vae(_sd_numpy(tm), strict=True)
+
+    ours = AutoencoderKLTemporalDecoder(block_out_channels=chans, dtype=jnp.float32)
+
+    rng = np.random.default_rng(2)
+    f = 3
+    frames = rng.standard_normal((f, 3, 32, 32), dtype=np.float32)
+    with torch.no_grad():
+        mom_t = tm.encode_moments(torch.from_numpy(frames)).numpy()
+    mom_j = ours.apply(
+        ported, jnp.asarray(frames.transpose(0, 2, 3, 1)), method="encode_moments"
+    )
+    np.testing.assert_allclose(
+        np.asarray(mom_j).transpose(0, 3, 1, 2), mom_t, rtol=3e-4, atol=3e-4
+    )
+
+    z = rng.standard_normal((f, 4, 4, 4), dtype=np.float32)
+    with torch.no_grad():
+        dec_t = tm.decode(torch.from_numpy(z), f).numpy()
+    # our decode divides by scaling_factor; pre-multiply so inputs align
+    dec_j = ours.apply(
+        ported, jnp.asarray(z.transpose(0, 2, 3, 1)) * ours.scaling_factor, f,
+        method="decode",
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_j).transpose(0, 3, 1, 2), dec_t, rtol=3e-4, atol=3e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX 3D causal VAE: torch re-implementation (diffusers
+# AutoencoderKLCogVideoX structure + key names, reference
+# ``cogvideox/module.py:39``) vs ours through port_cogvideox_vae — incl. the
+# MOVQ-style zq-conditioned decoder norms (CogVideoXSpatialNorm3D).
+# ---------------------------------------------------------------------------
+
+
+class _TCausalConv3d(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, k=3):
+        super().__init__()
+        kt, kh, kw = (k, k, k) if isinstance(k, int) else k
+        self.kt = kt
+        self.conv = torch.nn.Conv3d(
+            in_ch, out_ch, (kt, kh, kw), padding=(0, (kh - 1) // 2, (kw - 1) // 2)
+        )
+
+    def forward(self, x):
+        if self.kt > 1:
+            first = x[:, :, :1].expand(-1, -1, self.kt - 1, -1, -1)
+            x = torch.cat([first, x], dim=2)
+        return self.conv(x)
+
+
+class _TSpatialNorm3D(torch.nn.Module):
+    def __init__(self, f_ch, zq_ch):
+        super().__init__()
+        self.norm_layer = torch.nn.GroupNorm(32, f_ch, eps=1e-6)
+        self.conv_y = _TCausalConv3d(zq_ch, f_ch, 1)
+        self.conv_b = _TCausalConv3d(zq_ch, f_ch, 1)
+
+    def forward(self, f, zq):
+        F = torch.nn.functional
+        if f.shape[2] > 1 and f.shape[2] % 2 == 1:
+            zf = F.interpolate(zq[:, :, :1], size=(1,) + tuple(f.shape[-2:]))
+            zr = F.interpolate(zq[:, :, 1:], size=(f.shape[2] - 1,) + tuple(f.shape[-2:]))
+            zq = torch.cat([zf, zr], dim=2)
+        else:
+            zq = F.interpolate(zq, size=f.shape[-3:])
+        return self.norm_layer(f) * self.conv_y(zq) + self.conv_b(zq)
+
+
+class _TCogRes3D(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, zq_ch=None):
+        super().__init__()
+        nn = torch.nn
+        if zq_ch is not None:
+            self.norm1 = _TSpatialNorm3D(in_ch, zq_ch)
+            self.norm2 = _TSpatialNorm3D(out_ch, zq_ch)
+        else:
+            self.norm1 = nn.GroupNorm(32, in_ch, eps=1e-6)
+            self.norm2 = nn.GroupNorm(32, out_ch, eps=1e-6)
+        self.zq = zq_ch is not None
+        self.conv1 = _TCausalConv3d(in_ch, out_ch)
+        self.conv2 = _TCausalConv3d(out_ch, out_ch)
+        self.conv_shortcut = _TCausalConv3d(in_ch, out_ch, 1) if in_ch != out_ch else None
+
+    def forward(self, x, zq=None):
+        silu = torch.nn.functional.silu
+        h = self.norm1(x, zq) if self.zq else self.norm1(x)
+        h = self.conv1(silu(h))
+        h = self.norm2(h, zq) if self.zq else self.norm2(h)
+        h = self.conv2(silu(h))
+        return h + (self.conv_shortcut(x) if self.conv_shortcut is not None else x)
+
+
+def _t_compress_time(x):
+    """CogVideoXDownsample3D temporal pool: first frame kept, rest mean-2."""
+    if x.shape[2] % 2 == 1:
+        first, rest = x[:, :, :1], x[:, :, 1:]
+        if rest.shape[2] > 0:
+            b, c, t, h, w = rest.shape
+            rest = rest.reshape(b, c, t // 2, 2, h, w).mean(dim=3)
+        return torch.cat([first, rest], dim=2)
+    b, c, t, h, w = x.shape
+    return x.reshape(b, c, t // 2, 2, h, w).mean(dim=3)
+
+
+def _t_expand_time(x):
+    F = torch.nn.functional
+    if x.shape[2] > 1 and x.shape[2] % 2 == 1:
+        first, rest = x[:, :, :1], x[:, :, 1:]
+        rest = F.interpolate(rest, scale_factor=2.0)
+        first = F.interpolate(first[:, :, 0], scale_factor=2.0)[:, :, None]
+        return torch.cat([first, rest], dim=2)
+    if x.shape[2] > 1:
+        return F.interpolate(x, scale_factor=2.0)
+    return F.interpolate(x[:, :, 0], scale_factor=2.0)[:, :, None]
+
+
+class _TCogVAE(torch.nn.Module):
+    def __init__(self, chans=(32, 32, 64, 64), latent=4, enc_blocks=3, dec_blocks=4,
+                 t_compress=2):
+        super().__init__()
+        nn = torch.nn
+        enc = nn.Module()
+        enc.conv_in = _TCausalConv3d(3, chans[0])
+        enc.down_blocks = nn.ModuleList()
+        self._enc_compress = []
+        prev = chans[0]
+        for i, c in enumerate(chans):
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList()
+            for j in range(enc_blocks):
+                blk.resnets.append(_TCogRes3D(prev if j == 0 else c, c))
+                prev = c
+            if i < len(chans) - 1:
+                ds = nn.Module()
+                ds.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+                blk.downsamplers = nn.ModuleList([ds])
+                self._enc_compress.append(i < t_compress)
+            enc.down_blocks.append(blk)
+        enc.mid_block = nn.Module()
+        enc.mid_block.resnets = nn.ModuleList(
+            [_TCogRes3D(chans[-1], chans[-1]), _TCogRes3D(chans[-1], chans[-1])]
+        )
+        enc.norm_out = nn.GroupNorm(32, chans[-1], eps=1e-6)
+        enc.conv_out = _TCausalConv3d(chans[-1], 2 * latent)
+        self.encoder = enc
+
+        dec = nn.Module()
+        dec.conv_in = _TCausalConv3d(latent, chans[-1])
+        dec.mid_block = nn.Module()
+        dec.mid_block.resnets = nn.ModuleList(
+            [_TCogRes3D(chans[-1], chans[-1], latent), _TCogRes3D(chans[-1], chans[-1], latent)]
+        )
+        dec.up_blocks = nn.ModuleList()
+        rev = list(reversed(chans))
+        self._dec_expand = []
+        prev = chans[-1]
+        for i, c in enumerate(rev):
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList()
+            for j in range(dec_blocks):
+                blk.resnets.append(_TCogRes3D(prev if j == 0 else c, c, latent))
+                prev = c
+            if i < len(rev) - 1:
+                us = nn.Module()
+                us.conv = nn.Conv2d(c, c, 3, padding=1)
+                blk.upsamplers = nn.ModuleList([us])
+                self._dec_expand.append(i >= len(rev) - 1 - t_compress)
+            dec.up_blocks.append(blk)
+        dec.norm_out = _TSpatialNorm3D(chans[0], latent)
+        dec.conv_out = _TCausalConv3d(chans[0], 3)
+        self.decoder = dec
+
+    def encode_moments(self, x):
+        F = torch.nn.functional
+        e = self.encoder
+        h = e.conv_in(x)
+        for i, blk in enumerate(e.down_blocks):
+            for res in blk.resnets:
+                h = res(h)
+            if hasattr(blk, "downsamplers"):
+                if self._enc_compress[i]:
+                    h = _t_compress_time(h)
+                b, c, t, hh, ww = h.shape
+                h2 = F.pad(h.permute(0, 2, 1, 3, 4).reshape(b * t, c, hh, ww), (0, 1, 0, 1))
+                h2 = blk.downsamplers[0].conv(h2)
+                h = h2.reshape(b, t, *h2.shape[1:]).permute(0, 2, 1, 3, 4)
+        h = e.mid_block.resnets[0](h)
+        h = e.mid_block.resnets[1](h)
+        return e.conv_out(F.silu(e.norm_out(h)))
+
+    def decode(self, z):
+        F = torch.nn.functional
+        d = self.decoder
+        zq = z
+        h = d.conv_in(z)
+        h = d.mid_block.resnets[0](h, zq)
+        h = d.mid_block.resnets[1](h, zq)
+        for i, blk in enumerate(d.up_blocks):
+            for res in blk.resnets:
+                h = res(h, zq)
+            if hasattr(blk, "upsamplers"):
+                # diffusers CogVideoXUpsample3D: compress_time branch is ONE
+                # 5-D interpolate doubling (t, h, w) together (first-frame
+                # split); the plain branch doubles (h, w) per frame
+                if self._dec_expand[i]:
+                    h = _t_expand_time(h)
+                else:
+                    b, c, t, hh, ww = h.shape
+                    h = F.interpolate(
+                        h.permute(0, 2, 1, 3, 4).reshape(b * t, c, hh, ww),
+                        scale_factor=2.0,
+                    ).reshape(b, t, c, hh * 2, ww * 2).permute(0, 2, 1, 3, 4)
+                b, c, t, hh, ww = h.shape
+                h2 = blk.upsamplers[0].conv(h.permute(0, 2, 1, 3, 4).reshape(b * t, c, hh, ww))
+                h = h2.reshape(b, t, *h2.shape[1:]).permute(0, 2, 1, 3, 4)
+        h = d.norm_out(h, zq)
+        return d.conv_out(F.silu(h))
+
+
+@pytest.mark.slow
+def test_cogvideox_vae_activation_parity():
+    """Reduced-width AutoencoderKLCogVideoX: torch vs ours via
+    port_cogvideox_vae — causal-conv encoder moments and the zq-conditioned
+    (spatial-norm) temporal decoder both match."""
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cogvideox.vae3d import CogVideoXVAE
+    from motionrag_tpu.utils.porting_diffusion import port_cogvideox_vae
+
+    chans, latent = (32, 32, 64, 64), 4
+    tm = _TCogVAE(chans=chans, latent=latent)
+    _randomize(tm, seed=9, scale=0.06)
+    ported = port_cogvideox_vae(_sd_numpy(tm), strict=True)
+
+    ours = CogVideoXVAE(
+        latent_channels=latent, block_out_channels=chans, dtype=jnp.float32
+    )
+
+    rng = np.random.default_rng(3)
+    video = rng.standard_normal((1, 5, 3, 16, 16), dtype=np.float32)  # 1+4n frames
+    with torch.no_grad():
+        mom_t = tm.encode_moments(torch.from_numpy(video.transpose(0, 2, 1, 3, 4)))
+    mean_t = mom_t.numpy().transpose(0, 2, 3, 4, 1)[..., :latent]
+    enc_j = ours.apply(ported, jnp.asarray(video.transpose(0, 1, 3, 4, 2)), method="encode")
+    np.testing.assert_allclose(
+        np.asarray(enc_j), mean_t * ours.scaling_factor, rtol=3e-4, atol=3e-4
+    )
+
+    z = rng.standard_normal((1, 3, 2, 2, latent), dtype=np.float32)  # 1+2n lat frames
+    with torch.no_grad():
+        dec_t = tm.decode(torch.from_numpy(z.transpose(0, 4, 1, 2, 3))).numpy()
+    dec_j = ours.apply(ported, jnp.asarray(z) * ours.scaling_factor, method="decode")
+    np.testing.assert_allclose(
+        np.asarray(dec_j).transpose(0, 4, 1, 2, 3), dec_t, rtol=3e-4, atol=3e-4
+    )

@@ -207,17 +207,17 @@ def test_cogvideox_quantized_eval_pipeline(cog_setup):
     assert approx.shape == exact.shape
     assert np.isfinite(np.asarray(approx)).all()
     # quantized DiT params were cached
-    assert qmodule._quant_cache is not None
-    qleaf = qmodule._quant_cache["params"]["transformer_blocks_0"]["to_q"]["kernel"]
+    assert qmodule._quant_cache is not None and qmodule._quant_cache.tree is not None
+    qleaf = qmodule._quant_cache.tree["params"]["transformer_blocks_0"]["to_q"]["kernel"]
     assert qleaf.dtype == jnp.int8
     # same rng, 2 steps of a tiny random model: trajectories stay correlated
     a, e = np.asarray(approx, np.float64).ravel(), np.asarray(exact, np.float64).ravel()
     corr = np.corrcoef(a, e)[0, 1]
     assert corr > 0.95, corr
     # second call reuses the cache (no retransform)
-    cache_before = qmodule._quant_cache
+    cache_before = qmodule._quant_cache.tree
     qmodule.eval_pipeline(params, batch, jax.random.key(3), **kw)
-    assert qmodule._quant_cache is cache_before
+    assert qmodule._quant_cache.tree is cache_before
 
 
 def test_cogvideox_action_module_loss():

@@ -156,7 +156,7 @@ def test_dynamicrafter_quantized_eval_pipeline(dc_setup):
     approx = qmodule.eval_pipeline(params, batch, jax.random.key(2), **kw)
     assert approx.shape == exact.shape
     assert np.isfinite(np.asarray(approx)).all()
-    qtree = qmodule._quant_cache["params"]
+    qtree = qmodule._quant_cache.tree["params"]
     # attention kernels quantized, timestep modulation not
     flat = jax.tree_util.tree_leaves_with_path(qtree)
     keys = {jax.tree_util.keystr(p): v for p, v in flat}

@@ -128,7 +128,7 @@ def test_svd_quantized_eval_pipeline(svd_setup):
     assert approx.shape == exact.shape
     assert np.isfinite(np.asarray(approx)).all()
     keys = {jax.tree_util.keystr(p): v for p, v in
-            jax.tree_util.tree_leaves_with_path(qmodule._quant_cache)}
+            jax.tree_util.tree_leaves_with_path(qmodule._quant_cache.tree)}
     assert any(k.endswith("['kernel_scale']") for k in keys)
     assert not any(
         ("linear_1" in k or "linear_2" in k or "time_emb_proj" in k)
