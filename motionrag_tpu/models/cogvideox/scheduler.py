@@ -112,7 +112,10 @@ def ddim_sample_loop(
     def cfg_and_step(x, i, v_u, v_c):
         t = ts[i]
         a_t = acp[t]
-        t_prev = jnp.where(i + 1 < n, ts[jnp.minimum(i + 1, n - 1)], -1)
+        # diffusers CogVideoXDDIMScheduler.step: prev_timestep = t - T//steps
+        # (NOT the next schedule entry — they differ when T/steps rounds);
+        # negative -> final_alpha_cumprod = 1.0 (set_alpha_to_one)
+        t_prev = t - schedule.num_train_timesteps // n
         a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
         if use_dynamic_cfg:
             g = 1.0 + (guidance_scale - 1.0) * (
@@ -193,7 +196,8 @@ def dpm_sample_loop(
         x, prev_x0 = carry
         t = ts[i]
         a_t = acp[t]
-        t_prev = jnp.where(i + 1 < n, ts[jnp.minimum(i + 1, n - 1)], -1)
+        # diffusers convention (see cfg_and_step): prev = t - T//steps
+        t_prev = t - schedule.num_train_timesteps // n
         a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0 - 1e-8)
 
         v_u, v_c = denoise_fn(x, t)

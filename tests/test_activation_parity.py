@@ -1389,3 +1389,77 @@ def test_cogvideox_vae_activation_parity():
     np.testing.assert_allclose(
         np.asarray(dec_j).transpose(0, 4, 1, 2, 3), dec_t, rtol=3e-4, atol=3e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX DDIM trajectory: torch mirror of diffusers CogVideoXDDIMScheduler
+# (scaled-linear betas, SNR shift 3.0, zero-terminal-SNR with the 2^-24
+# floor, trailing spacing, prev = t - T//steps, v-pred, eta=0) vs our
+# ddim_sample_loop — identical closed-form denoiser both sides.
+# ---------------------------------------------------------------------------
+
+
+def _t_cog_alphas(T=1000, b0=0.00085, b1=0.012, snr_shift=3.0):
+    betas = torch.linspace(b0 ** 0.5, b1 ** 0.5, T, dtype=torch.float64) ** 2
+    acp = torch.cumprod(1.0 - betas, dim=0)
+    acp = acp / (snr_shift + (1.0 - snr_shift) * acp)
+    a = acp.sqrt()
+    a = (a - a[-1]) * (a[0] / (a[0] - a[-1]))
+    acp = a ** 2
+    acp[-1] = 2.0 ** -24
+    return acp.float()
+
+
+@pytest.mark.parametrize("steps", [5, 6])  # 1000/6 non-integer: rounding path
+def test_cogvideox_ddim_trajectory_parity(steps):
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cogvideox.scheduler import (
+        CogVideoXSchedule, ddim_sample_loop,
+    )
+
+    T, g = 1000, 3.0
+    acp = _t_cog_alphas(T)
+    ts = torch.from_numpy(
+        (np.round(np.arange(T, 0, -T / steps)).astype(np.int64) - 1)[:steps]
+    )
+
+    rng = np.random.default_rng(4)
+    x0_np = rng.standard_normal((1, 2, 4, 4, 3), dtype=np.float32)
+    w = rng.standard_normal((3,), dtype=np.float32) * 0.2
+
+    def v_fn_t(x, t):  # closed-form "denoiser": v as a function of x and t
+        tt = t.float() / T
+        vc = 0.4 * torch.tanh(x) + tt.reshape(-1, 1, 1, 1, 1) * 0.1 * x + float(w[0])
+        vu = 0.3 * torch.tanh(x) + float(w[1])
+        return vu, vc
+
+    x = torch.from_numpy(x0_np.copy())
+    for i in range(steps):
+        t = ts[i]
+        a_t = acp[t]
+        prev_t = t - T // steps
+        a_prev = acp[prev_t] if prev_t >= 0 else torch.tensor(1.0)
+        vu, vc = v_fn_t(x, t)
+        v = vu + g * (vc - vu)
+        x0 = a_t.sqrt() * x - (1 - a_t).sqrt() * v
+        eps = a_t.sqrt() * v + (1 - a_t).sqrt() * x
+        x = a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * eps
+    out_t = x.numpy()
+
+    sched = CogVideoXSchedule()
+    np.testing.assert_allclose(  # schedule tables themselves agree
+        np.asarray(sched.alphas_cumprod), acp.numpy(), rtol=1e-6, atol=1e-9
+    )
+
+    def v_fn_j(x, t):
+        tt = jnp.float32(t) / T
+        vc = 0.4 * jnp.tanh(x) + tt * 0.1 * x + float(w[0])
+        vu = 0.3 * jnp.tanh(x) + float(w[1])
+        return vu, vc
+
+    out_j = ddim_sample_loop(
+        sched, v_fn_j, jnp.asarray(x0_np), num_inference_steps=steps,
+        guidance_scale=g,
+    )
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
