@@ -1463,3 +1463,57 @@ def test_cogvideox_ddim_trajectory_parity(steps):
         guidance_scale=g,
     )
     np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SVD Euler trajectory: torch mirror of diffusers EulerDiscreteScheduler as
+# configured by released SVD (karras sigmas 0.002..700 rho 7, continuous
+# c_noise = 0.25*log(sigma), v_prediction denoised, leading-spacing
+# init_noise_sigma sqrt(sigma0^2+1)) vs our euler_sample_loop.
+# ---------------------------------------------------------------------------
+
+
+def test_svd_euler_trajectory_parity():
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.svd.sampler import euler_sample_loop, karras_sigmas
+
+    steps, f = 6, 4
+    sig = karras_sigmas(steps)  # ours; torch side recomputes independently
+    ramp = torch.linspace(0, 1, steps, dtype=torch.float64)
+    t_sig = (700.0 ** (1 / 7) + ramp * (0.002 ** (1 / 7) - 700.0 ** (1 / 7))) ** 7
+    np.testing.assert_allclose(sig[:-1], t_sig.float().numpy(), rtol=1e-5)
+
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal((1, f, 4, 4, 3), dtype=np.float32)
+    w = rng.standard_normal((2,), dtype=np.float32) * 0.3
+    gs = np.linspace(1.0, 3.0, f, dtype=np.float32)  # SVD per-frame CFG ramp
+
+    def f_t(x_scaled, c_noise):  # closed-form UNet stand-in (torch)
+        fc = 0.5 * torch.tanh(x_scaled) + 0.05 * c_noise * x_scaled + float(w[0])
+        fu = 0.4 * torch.tanh(x_scaled) + float(w[1])
+        return fu, fc
+
+    x = torch.from_numpy(noise.copy()) * float(np.sqrt(sig[0] ** 2 + 1.0))
+    g = torch.from_numpy(gs).reshape(1, f, 1, 1, 1)
+    for i in range(steps):
+        sigma = float(t_sig[i])
+        scaled = x / np.sqrt(sigma ** 2 + 1.0)
+        c_noise = 0.25 * np.log(sigma)
+        fu, fc = f_t(scaled, c_noise)
+        den_u = fu * (-sigma / np.sqrt(sigma ** 2 + 1.0)) + x / (sigma ** 2 + 1.0)
+        den_c = fc * (-sigma / np.sqrt(sigma ** 2 + 1.0)) + x / (sigma ** 2 + 1.0)
+        denoised = den_u + g * (den_c - den_u)
+        d = (x - denoised) / sigma
+        sigma_next = float(t_sig[i + 1]) if i + 1 < steps else 0.0
+        x = x + d * (sigma_next - sigma)
+    out_t = x.numpy()
+
+    def f_j(x_scaled, c_noise, sigma):
+        fc = 0.5 * jnp.tanh(x_scaled) + 0.05 * c_noise * x_scaled + float(w[0])
+        fu = 0.4 * jnp.tanh(x_scaled) + float(w[1])
+        return fu, fc
+
+    lat = jnp.asarray(noise) * jnp.sqrt(sig[0] ** 2 + 1.0)
+    out_j = euler_sample_loop(f_j, lat, sig, guidance_scale=jnp.asarray(gs))
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
