@@ -1517,3 +1517,224 @@ def test_svd_euler_trajectory_parity():
     lat = jnp.asarray(noise) * jnp.sqrt(sig[0] ** 2 + 1.0)
     out_j = euler_sample_loop(f_j, lat, sig, guidance_scale=jnp.asarray(gs))
     np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# CAMA core (ActionTransformer, "the heart of MotionRAG"): the REFERENCE's
+# own source (/root/reference/src/projects/condition/module.py) runs on CPU
+# torch with stub pixel encoders; weights port through utils/porting.py and
+# the full batch_forward loss + CFG predict must match our models/cama.py.
+# ---------------------------------------------------------------------------
+
+
+def _import_reference_condition():
+    """Import src.projects.condition.module with lightning/diffusers stubs
+    (neither is installed; only torch-level math is exercised)."""
+    import importlib.machinery
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if "lightning" not in sys.modules:
+        pl_mod = types.ModuleType("lightning.pytorch")
+        pl_mod.LightningModule = torch.nn.Module
+        root = types.ModuleType("lightning")
+        root.pytorch = pl_mod
+        for name, mod in (("lightning", root), ("lightning.pytorch", pl_mod)):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+
+    class _PLModule(torch.nn.Module):
+        @property
+        def device(self):
+            return torch.device("cpu")
+
+    # base_module calls LightningModule APIs (self.device) the bare
+    # nn.Module stub lacks; upgrade before src.* imports bind the class
+    sys.modules["lightning.pytorch"].LightningModule = _PLModule
+    # lightning.pytorch.utilities.types.STEP_OUTPUT
+    ut = types.ModuleType("lightning.pytorch.utilities")
+    ty = types.ModuleType("lightning.pytorch.utilities.types")
+    ty.STEP_OUTPUT = object
+    for name, mod in (("lightning.pytorch.utilities", ut),
+                      ("lightning.pytorch.utilities.types", ty)):
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules.setdefault(name, mod)
+    sys.modules["lightning.pytorch"].utilities = ut
+    ut.types = ty
+    if "diffusers" not in sys.modules:
+        dif = types.ModuleType("diffusers")
+        models = types.ModuleType("diffusers.models")
+        lora = types.ModuleType("diffusers.models.lora")
+        for cls in ("LoRALinearLayer", "LoRAConv2dLayer",
+                    "LoRACompatibleConv", "LoRACompatibleLinear"):
+            setattr(lora, cls, type(cls, (torch.nn.Module,), {}))
+        dif.models = models
+        models.lora = lora
+        for name, mod in (("diffusers", dif), ("diffusers.models", models),
+                          ("diffusers.models.lora", lora)):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+    # encoders/condition.py (pulled in by the package __init__) imports
+    # kornia / open_clip / torchvision, none installed — stub the symbols it
+    # touches at import time (the test only uses Resampler + the module core)
+    for name in ("kornia", "open_clip"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.InterpolationMode = type("InterpolationMode", (), {"BICUBIC": 3, "BILINEAR": 2})
+        tv2 = types.ModuleType("torchvision.transforms.v2")
+        for cls in ("Compose", "Resize", "CenterCrop", "Normalize"):
+            setattr(tv2, cls, type(cls, (), {"__init__": lambda self, *a, **k: None}))
+        tv.transforms = tvt
+        tvt.v2 = tv2
+        for name, mod in (("torchvision", tv), ("torchvision.transforms", tvt),
+                          ("torchvision.transforms.v2", tv2)):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+    import src.projects.condition.module as ref_module
+    import src.projects.condition.encoders.resampler as ref_resampler
+
+    return ref_module, ref_resampler
+
+
+class _TVideoStub(torch.nn.Module):
+    """[(bk), t, c, h, w] -> [(bk), t, ed]: per-frame flatten + Linear."""
+
+    def __init__(self, in_dim, ed):
+        super().__init__()
+        self.proj = torch.nn.Linear(in_dim, ed)
+
+    def forward(self, v):
+        bk, t = v.shape[:2]
+        return self.proj(v.reshape(bk, t, -1))
+
+
+class _TImageStub(torch.nn.Module):
+    """[(bk), c, h, w] -> [(bk), h, ed]: rows as tokens + Linear."""
+
+    def __init__(self, in_dim, ed):
+        super().__init__()
+        self.proj = torch.nn.Linear(in_dim, ed)
+
+    def forward(self, im):
+        bk, c, h, w = im.shape
+        return self.proj(im.permute(0, 2, 1, 3).reshape(bk, h, c * w))
+
+
+@pytest.mark.slow
+def test_cama_action_transformer_reference_parity():
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cama import (
+        ActionTransformer, SinusoidPositionalEmbeddings,
+    )
+    from motionrag_tpu.models.layers import TransformerEncoder
+    from motionrag_tpu.models.resampler import Resampler
+    from motionrag_tpu.utils.porting import (
+        port_resampler, port_torch_transformer_encoder,
+    )
+    from motionrag_tpu.utils.porting_diffusion import _t
+
+    ref_module, ref_resampler = _import_reference_condition()
+
+    d, heads, ff, depth = 32, 4, 64, 2
+    nq, ved, ced = 3, 24, 48
+    b, k, t, hh = 2, 2, 2, 8
+
+    tr = torch.nn.TransformerEncoder(
+        torch.nn.TransformerEncoderLayer(
+            d, heads, ff, dropout=0.0, activation="gelu", batch_first=True
+        ),
+        depth,
+    )
+    tm = ref_module.ActionTransformer(
+        vision_model=_TVideoStub(3 * hh * hh, ved),
+        vision_proj=ref_resampler.Resampler(
+            dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+            embedding_dim=ved, output_dim=d,
+        ),
+        condition_model=_TImageStub(3 * hh, ced),
+        condition_proj=ref_resampler.Resampler(
+            dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+            embedding_dim=ced, output_dim=d,
+        ),
+        transformer=tr,
+        vision_pe=None,
+        condition_pe=None,
+    )
+    _randomize(tm, seed=11, scale=0.1)
+    tm.eval()
+    sd = _sd_numpy(tm)
+
+    rng = np.random.default_rng(6)
+    ref_videos = rng.standard_normal((b, k, t, 3, hh, hh), dtype=np.float32)
+    video = rng.standard_normal((b, t, 3, hh, hh), dtype=np.float32)
+    batch_t = {"ref_videos": torch.from_numpy(ref_videos),
+               "video": torch.from_numpy(video)}
+
+    with torch.no_grad():
+        loss_t = tm.batch_forward(batch_t, return_loss=True)
+        pred_t = tm.predict(batch_t, do_classifier_free_guidance=True).numpy()
+
+    # ---- ours, weights ported from the reference state_dict --------------
+    class JVideoStub(fnn.Module):
+        ed: int
+
+        @fnn.compact
+        def __call__(self, v):
+            bk, tt = v.shape[:2]
+            return fnn.Dense(self.ed, name="proj")(v.reshape(bk, tt, -1))
+
+    class JImageStub(fnn.Module):
+        ed: int
+
+        @fnn.compact
+        def __call__(self, im):
+            bk, c, ih, iw = im.shape
+            tok = im.transpose(0, 2, 1, 3).reshape(bk, ih, c * iw)
+            return fnn.Dense(self.ed, name="proj")(tok)
+
+    ours = ActionTransformer(
+        vision_model=JVideoStub(ved),
+        vision_proj=Resampler(dim=d, depth=1, dim_head=8, heads=4,
+                              num_queries=nq, embedding_dim=ved, output_dim=d),
+        condition_model=JImageStub(ced),
+        condition_proj=Resampler(dim=d, depth=1, dim_head=8, heads=4,
+                                 num_queries=nq, embedding_dim=ced, output_dim=d),
+        transformer=TransformerEncoder(num_layers=depth, d_model=d, nhead=heads,
+                                       dim_feedforward=ff, activation="gelu"),
+        vision_pe=None,
+        condition_pe=None,
+    )
+
+    def sub(prefix):
+        return {kk[len(prefix):]: vv for kk, vv in sd.items() if kk.startswith(prefix)}
+
+    params = {
+        "sos_token": sd["sos_token"][0] if sd["sos_token"].shape[0] == 1 else sd["sos_token"],
+        "vision_model": {"proj": {"kernel": _t(sd["vision_model.proj.weight"]),
+                                  "bias": sd["vision_model.proj.bias"]}},
+        "condition_model": {"proj": {"kernel": _t(sd["condition_model.proj.weight"]),
+                                     "bias": sd["condition_model.proj.bias"]}},
+        "vision_proj": port_resampler(sub("vision_proj."), depth=1)["params"],
+        "condition_proj": port_resampler(sub("condition_proj."), depth=1)["params"],
+        "transformer": port_torch_transformer_encoder(sub("transformer."), depth=depth)["params"],
+    }
+    # our sos_token param keeps the [1, nq, d] shape
+    params["sos_token"] = sd["sos_token"]
+
+    batch_j = {"ref_videos": jnp.asarray(ref_videos), "video": jnp.asarray(video)}
+    loss_j = ours.apply({"params": params}, batch_j, True, False, method="batch_forward")
+    np.testing.assert_allclose(float(loss_j.main), float(loss_t.main), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(loss_j.smooth), float(loss_t.smooth), rtol=2e-4, atol=1e-5)
+
+    pred_j = ours.apply(
+        {"params": params}, batch_j, True, method="predict"
+    )
+    np.testing.assert_allclose(np.asarray(pred_j), pred_t, rtol=3e-4, atol=3e-4)
