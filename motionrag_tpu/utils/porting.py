@@ -357,6 +357,59 @@ def port_torch_transformer_encoder(sd: dict, depth: int, prefix: str = "") -> di
     return {"params": p}
 
 
+def _port_torch_mha(sd: dict, pre: str) -> dict:
+    """torch nn.MultiheadAttention (packed in_proj) -> our MultiHeadAttention."""
+    in_w = _np(sd, f"{pre}.in_proj_weight")
+    in_b = _np(sd, f"{pre}.in_proj_bias")
+    d = in_w.shape[1]
+    qw, kw, vw = in_w[:d], in_w[d:2 * d], in_w[2 * d:]
+    qb, kb, vb = in_b[:d], in_b[d:2 * d], in_b[2 * d:]
+    return {
+        "q_proj": {"kernel": _t(qw), "bias": qb},
+        "k_proj": {"kernel": _t(kw), "bias": kb},
+        "v_proj": {"kernel": _t(vw), "bias": vb},
+        "out_proj": {
+            "kernel": _t(_np(sd, f"{pre}.out_proj.weight")),
+            "bias": _np(sd, f"{pre}.out_proj.bias"),
+        },
+    }
+
+
+def port_torch_transformer_decoder(sd: dict, depth: int, prefix: str = "") -> dict:
+    """torch ``nn.TransformerDecoder`` state_dict -> models.layers.
+    TransformerDecoder params (the ConditionTransformer/SkillTransformer
+    backbone; reference passes tgt=visions, memory=conditions,
+    ``condition/module.py:168``)."""
+    p = {}
+    for i in range(depth):
+        pre = f"{prefix}layers.{i}"
+        p[f"layers_{i}"] = {
+            "self_attn": _port_torch_mha(sd, f"{pre}.self_attn"),
+            "multihead_attn": _port_torch_mha(sd, f"{pre}.multihead_attn"),
+            "linear1": {
+                "kernel": _t(_np(sd, f"{pre}.linear1.weight")),
+                "bias": _np(sd, f"{pre}.linear1.bias"),
+            },
+            "linear2": {
+                "kernel": _t(_np(sd, f"{pre}.linear2.weight")),
+                "bias": _np(sd, f"{pre}.linear2.bias"),
+            },
+            "norm1": {
+                "scale": _np(sd, f"{pre}.norm1.weight"),
+                "bias": _np(sd, f"{pre}.norm1.bias"),
+            },
+            "norm2": {
+                "scale": _np(sd, f"{pre}.norm2.weight"),
+                "bias": _np(sd, f"{pre}.norm2.bias"),
+            },
+            "norm3": {
+                "scale": _np(sd, f"{pre}.norm3.weight"),
+                "bias": _np(sd, f"{pre}.norm3.bias"),
+            },
+        }
+    return {"params": p}
+
+
 def port_resampler(sd: dict, depth: int, prefix: str = "") -> dict:
     """Reference Resampler state_dict (``resampler.py:108-174`` naming:
     latents, proj_in/out, norm_out, layers.{i}.{0,1}) -> models.resampler.

@@ -1738,3 +1738,105 @@ def test_cama_action_transformer_reference_parity():
         {"params": params}, batch_j, True, method="predict"
     )
     np.testing.assert_allclose(np.asarray(pred_j), pred_t, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_condition_transformer_reference_parity():
+    """Reference ConditionTransformer (decoder variant: visions as tgt,
+    conditions as memory) + its autoregressive rollout vs ours, weights
+    ported via port_torch_transformer_decoder / port_resampler."""
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cama import ConditionTransformer
+    from motionrag_tpu.models.layers import TransformerDecoder
+    from motionrag_tpu.models.resampler import Resampler
+    from motionrag_tpu.utils.porting import (
+        port_resampler, port_torch_transformer_decoder,
+    )
+    from motionrag_tpu.utils.porting_diffusion import _t
+
+    ref_module, ref_resampler = _import_reference_condition()
+
+    d, heads, ff, depth = 32, 4, 64, 2
+    nq, ved, ced = 3, 24, 48
+    b, t, hh = 2, 4, 8
+
+    tr = torch.nn.TransformerDecoder(
+        torch.nn.TransformerDecoderLayer(
+            d, heads, ff, dropout=0.0, activation="gelu", batch_first=True
+        ),
+        depth,
+    )
+    tm = ref_module.ConditionTransformer(
+        vision_model=_TImageStub(3 * hh, ved),   # per-frame image encoder
+        vision_proj=ref_resampler.Resampler(
+            dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+            embedding_dim=ved, output_dim=d,
+        ),
+        condition_model=_TImageStub(3 * hh, ced),
+        condition_proj=ref_resampler.Resampler(
+            dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+            embedding_dim=ced, output_dim=d,
+        ),
+        transformer=tr,
+        vision_pe=None,
+        condition_pe=None,
+    )
+    _randomize(tm, seed=13, scale=0.1)
+    tm.eval()
+    sd = _sd_numpy(tm)
+
+    rng = np.random.default_rng(7)
+    frames = rng.standard_normal((b, t, 3, hh, hh), dtype=np.float32)
+    cond = rng.standard_normal((b, 3, hh, hh), dtype=np.float32)
+
+    with torch.no_grad():
+        loss_t = float(tm(torch.from_numpy(frames), torch.from_numpy(cond), True))
+        roll_t = tm.autoregressive(
+            torch.from_numpy(frames), torch.from_numpy(cond), return_loss=False
+        ).numpy()
+
+    class JImageStub(fnn.Module):
+        ed: int
+
+        @fnn.compact
+        def __call__(self, im):
+            bk, c, ih, iw = im.shape
+            tok = im.transpose(0, 2, 1, 3).reshape(bk, ih, c * iw)
+            return fnn.Dense(self.ed, name="proj")(tok)
+
+    ours = ConditionTransformer(
+        vision_model=JImageStub(ved),
+        vision_proj=Resampler(dim=d, depth=1, dim_head=8, heads=4,
+                              num_queries=nq, embedding_dim=ved, output_dim=d),
+        condition_model=JImageStub(ced),
+        condition_proj=Resampler(dim=d, depth=1, dim_head=8, heads=4,
+                                 num_queries=nq, embedding_dim=ced, output_dim=d),
+        transformer=TransformerDecoder(num_layers=depth, d_model=d, nhead=heads,
+                                       dim_feedforward=ff, activation="gelu"),
+        vision_pe=None,
+        condition_pe=None,
+    )
+
+    def sub(prefix):
+        return {kk[len(prefix):]: vv for kk, vv in sd.items() if kk.startswith(prefix)}
+
+    params = {
+        "vision_model": {"proj": {"kernel": _t(sd["vision_model.proj.weight"]),
+                                  "bias": sd["vision_model.proj.bias"]}},
+        "condition_model": {"proj": {"kernel": _t(sd["condition_model.proj.weight"]),
+                                     "bias": sd["condition_model.proj.bias"]}},
+        "vision_proj": port_resampler(sub("vision_proj."), depth=1)["params"],
+        "condition_proj": port_resampler(sub("condition_proj."), depth=1)["params"],
+        "transformer": port_torch_transformer_decoder(sub("transformer."), depth=depth)["params"],
+    }
+
+    loss_j = ours.apply({"params": params}, jnp.asarray(frames), jnp.asarray(cond), True)
+    np.testing.assert_allclose(float(loss_j), loss_t, rtol=2e-4, atol=1e-5)
+
+    roll_j = ours.apply(
+        {"params": params}, jnp.asarray(frames), jnp.asarray(cond), False,
+        method="autoregressive",
+    )
+    np.testing.assert_allclose(np.asarray(roll_j), roll_t, rtol=3e-4, atol=3e-4)
