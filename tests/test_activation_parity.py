@@ -1548,6 +1548,10 @@ def _import_reference_condition():
         def device(self):
             return torch.device("cpu")
 
+        def all_gather(self, x, sync_grads=False):
+            # single-process Lightning all_gather: adds a world dim of 1
+            return x[None]
+
     # base_module calls LightningModule APIs (self.device) the bare
     # nn.Module stub lacks; upgrade before src.* imports bind the class
     sys.modules["lightning.pytorch"].LightningModule = _PLModule
@@ -1840,3 +1844,215 @@ def test_condition_transformer_reference_parity():
         method="autoregressive",
     )
     np.testing.assert_allclose(np.asarray(roll_j), roll_t, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_ddim_dual_cfg_trajectory_parity():
+    """Multi-cond (dual CFG) DDIM: vendored ddim_multiplecond.DDIMSampler vs
+    our ddim_sample_dual_cfg — text + image guidance combined as
+    e_uc + s_img*(e_img - e_uc) + s_txt*(e_full - e_img), with dynamic
+    rescale and guidance rescale, identical closed-form denoiser."""
+    import jax.numpy as jnp
+
+    _import_lvdm()
+    from DynamiCrafter.lvdm.models.samplers.ddim_multiplecond import DDIMSampler
+
+    from motionrag_tpu.models.dynamicrafter.ddim import (
+        LVDMSchedule, ddim_sample_dual_cfg,
+    )
+
+    b, c, t, h, w = 1, 3, 2, 4, 4
+    rng = np.random.default_rng(8)
+    x_T = rng.standard_normal((b, c, t, h, w), dtype=np.float32)
+    cond_vec = rng.standard_normal((b, c, t, h, w), dtype=np.float32)
+    img_vec = rng.standard_normal((b, c, t, h, w), dtype=np.float32)
+    uncond_vec = rng.standard_normal((b, c, t, h, w), dtype=np.float32)
+
+    def denoise_torch(x, tt, cond):
+        cv = cond["c_crossattn"]
+        tscaled = (tt.float() / 1000.0).reshape(-1, 1, 1, 1, 1)
+        return 0.3 * torch.tanh(x) + 0.2 * cv + 0.05 * tscaled * x
+
+    stub = _StubLVDM(denoise_torch)
+    DDIMSampler.register_buffer = lambda self, name, attr: setattr(self, name, attr)
+    sampler = DDIMSampler(stub)
+    with torch.no_grad():
+        samples_t, _ = sampler.sample(
+            S=6, batch_size=b, shape=(c, t, h, w),
+            conditioning={"c_crossattn": torch.from_numpy(cond_vec)},
+            unconditional_conditioning={"c_crossattn": torch.from_numpy(uncond_vec)},
+            unconditional_guidance_scale=7.5, cfg_img=1.2, guidance_rescale=0.7,
+            x_T=torch.from_numpy(x_T), timestep_spacing="uniform_trailing",
+            verbose=False, schedule_verbose=False,
+            unconditional_conditioning_img_nonetext={
+                "c_crossattn": torch.from_numpy(img_vec)
+            },
+        )
+    samples_t = samples_t.numpy()
+
+    schedule = LVDMSchedule(
+        rescale_betas_zero_snr=True, use_dynamic_rescale=True, base_scale=0.3
+    )
+
+    def to_j(v):
+        return jnp.asarray(v.transpose(0, 2, 3, 4, 1))
+
+    def denoise_jax3(x, tt):
+        tscaled = (tt.astype(jnp.float32) / 1000.0).reshape(-1, 1, 1, 1, 1)
+
+        def f(cv):
+            return 0.3 * jnp.tanh(x) + 0.2 * cv + 0.05 * tscaled * x
+
+        return f(to_j(cond_vec)), f(to_j(img_vec)), f(to_j(uncond_vec))
+
+    samples_j = ddim_sample_dual_cfg(
+        schedule, denoise_jax3, to_j(x_T), num_steps=6,
+        text_guidance_scale=7.5, image_guidance_scale=1.2, guidance_rescale=0.7,
+        timestep_spacing="uniform_trailing",
+    )
+    samples_j = np.asarray(samples_j).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(samples_j, samples_t, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_action_clip_reference_parity():
+    """Reference ActionCLIP symmetric contrastive loss (cls-token resampler,
+    learnable logit scale, single-process all_gather) vs ours with ported
+    weights and an externally supplied text embedding."""
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cama import ActionCLIP
+    from motionrag_tpu.models.resampler import Resampler
+    from motionrag_tpu.utils.porting import port_resampler
+    from motionrag_tpu.utils.porting_diffusion import _t
+
+    ref_module, ref_resampler = _import_reference_condition()
+
+    d, nq, ved = 32, 3, 24
+    b, t, hh = 4, 2, 8
+    rng = np.random.default_rng(9)
+    text_emb = rng.standard_normal((b, d), dtype=np.float32)
+
+    class _TTextStub(torch.nn.Module):
+        def forward(self, text, return_cls_tokens=False):
+            return torch.from_numpy(text_emb), None
+
+    tm = ref_module.ActionCLIP(
+        action_model=_TVideoStub(3 * hh * hh, ved),
+        text_model=_TTextStub(),
+        resampler=ref_resampler.Resampler(
+            dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+            embedding_dim=ved, output_dim=d, with_cls_token=True,
+        ),
+    )
+    # text_model.freeze() etc. live in configure_model_; not needed here
+    _randomize(tm, seed=17, scale=0.1)
+    tm.eval()
+    sd = _sd_numpy(tm)
+
+    video = rng.standard_normal((b, t, 3, hh, hh), dtype=np.float32)
+    with torch.no_grad():
+        loss_t = float(tm(torch.from_numpy(video), ["x"] * b))
+
+    class JVideoStub2(fnn.Module):
+        ed: int
+
+        @fnn.compact
+        def __call__(self, v):
+            bk, tt = v.shape[:2]
+            return fnn.Dense(self.ed, name="proj")(v.reshape(bk, tt, -1))
+
+    ours = ActionCLIP(
+        action_model=JVideoStub2(ved),
+        text_model=None,
+        resampler=Resampler(dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+                            embedding_dim=ved, output_dim=d, with_cls_token=True),
+    )
+
+    def sub(prefix):
+        return {kk[len(prefix):]: vv for kk, vv in sd.items() if kk.startswith(prefix)}
+
+    params = {
+        "logit_scale": sd["logit_scale"],
+        "action_model": {"proj": {"kernel": _t(sd["action_model.proj.weight"]),
+                                  "bias": sd["action_model.proj.bias"]}},
+        "resampler": port_resampler(sub("resampler."), depth=1)["params"],
+    }
+    loss_j = ours.apply({"params": params}, jnp.asarray(video), jnp.asarray(text_emb))
+    np.testing.assert_allclose(float(loss_j), loss_t, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_apadapter_attention_reference_parity():
+    """Motion-Adapter attention (reference APAdapterAttnProcessor2_0,
+    attn_processor.py:10-141): q_ip from POST-attention hidden states, kv
+    from action tokens, (b r) CFG broadcast, scale-added before to_out —
+    torch mirror of the processor math vs our CrossAttention adapter branch,
+    same weights, including the r=2 broadcast path."""
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.diffusion_blocks import CrossAttention
+    from motionrag_tpu.utils.porting_diffusion import _t
+
+    d, heads, hd, ctx_d, na = 32, 4, 8, 48, 5
+    b, s, sc = 4, 6, 3        # batch 4 vs action batch 2 -> r=2 broadcast
+    scale = 0.7
+
+    g = torch.Generator().manual_seed(21)
+
+    def lin(i, o):
+        return torch.randn(o, i, generator=g) * 0.1
+
+    w = {
+        "to_q": lin(d, heads * hd), "to_k": lin(ctx_d, heads * hd),
+        "to_v": lin(ctx_d, heads * hd),
+        "to_out_w": lin(heads * hd, d), "to_out_b": torch.randn(d, generator=g) * 0.1,
+        "to_q_ip": lin(heads * hd, heads * hd), "to_k_ip": lin(d, heads * hd),
+        "to_v_ip": lin(d, heads * hd),
+    }
+
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((b, s, d), dtype=np.float32)
+    enc = rng.standard_normal((b, sc, ctx_d), dtype=np.float32)
+    action = rng.standard_normal((b // 2, na, d), dtype=np.float32)
+
+    def hf(t_):  # heads-first
+        return t_.view(t_.shape[0], -1, heads, hd).transpose(1, 2)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x)
+        q = hf(xt @ w["to_q"].T)
+        k = hf(torch.from_numpy(enc) @ w["to_k"].T)
+        v = hf(torch.from_numpy(enc) @ w["to_v"].T)
+        hidden = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        hidden = hidden.transpose(1, 2).reshape(b, s, heads * hd)
+
+        ip_q = hf(hidden @ w["to_q_ip"].T)
+        at = torch.from_numpy(action)
+        ip_k = at @ w["to_k_ip"].T
+        ip_v = at @ w["to_v_ip"].T
+        ip_k = hf(ip_k.repeat_interleave(2, dim=0))  # (b r) broadcast
+        ip_v = hf(ip_v.repeat_interleave(2, dim=0))
+        ip_out = torch.nn.functional.scaled_dot_product_attention(ip_q, ip_k, ip_v)
+        ip_out = ip_out.transpose(1, 2).reshape(b, s, heads * hd)
+
+        out_t = ((hidden + scale * ip_out) @ w["to_out_w"].T + w["to_out_b"]).numpy()
+
+    ours = CrossAttention(
+        query_dim=d, context_dim=ctx_d, heads=heads, dim_head=hd,
+        with_adapter=True, adapter_scale=scale,
+    )
+    params = {
+        "to_q": {"kernel": _t(w["to_q"])}, "to_k": {"kernel": _t(w["to_k"])},
+        "to_v": {"kernel": _t(w["to_v"])},
+        "to_out": {"kernel": _t(w["to_out_w"]), "bias": np.asarray(w["to_out_b"])},
+        "to_q_ip": {"kernel": _t(w["to_q_ip"])},
+        "to_k_ip": {"kernel": _t(w["to_k_ip"])},
+        "to_v_ip": {"kernel": _t(w["to_v_ip"])},
+    }
+    out_j = ours.apply(
+        {"params": params}, jnp.asarray(x), context=jnp.asarray(enc),
+        action_emb=jnp.asarray(action),
+    )
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
