@@ -97,7 +97,11 @@ class DynamiCrafterModule:
         self.unet = unet or UNet3D(dtype=dtype)
         self.vae = vae or AutoencoderKL2D(dtype=dtype)
         self.text_encoder = text_encoder or CLIPTextEncoder(dtype=dtype)
-        self.image_encoder = image_encoder or CLIPImageEmbedder(pooled=False, dtype=dtype)
+        # OpenCLIP-V2 token contract: all blocks, no ln_post (reference
+        # FrozenOpenCLIPImageEmbedderV2, condition.py:263-341)
+        self.image_encoder = image_encoder or CLIPImageEmbedder(
+            pooled=False, final_tokens=True, dtype=dtype
+        )
         self.image_proj = image_proj or Resampler(
             dim=1024, depth=4, dim_head=64, heads=12, num_queries=16,
             embedding_dim=1280, output_dim=1024, video_length=16, dtype=dtype,

@@ -220,6 +220,11 @@ class CLIPImageEmbedder(nn.Module):
     # 'square': direct antialiased resize to (size, size) — SVD conditioning
     # path (reference ``svd/module.py:76``); 'crop': short-side + center crop.
     resize_mode: str = "square"
+    # token output contract when pooled=False: False -> penultimate hidden
+    # (HF IP-Adapter convention, hidden_states[-2]); True -> ALL blocks with
+    # no ln_post (OpenCLIP FrozenOpenCLIPImageEmbedderV2, the DynamiCrafter
+    # image-conditioning path — reference condition.py:263-341)
+    final_tokens: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -249,6 +254,8 @@ class CLIPImageEmbedder(nn.Module):
             image = jnp.zeros_like(image)
         if self.pooled:
             return self.encoder(image.astype(self.dtype), return_pooled=True)[:, None, :]
+        if self.final_tokens:
+            return self.encoder(image.astype(self.dtype), raw_tokens=True)
         return self.encoder(image.astype(self.dtype), penultimate=True)
 
 

@@ -128,7 +128,8 @@ class VisionTransformer(nn.Module):
         return {"videomae": 1e-12, "videomae2": 1e-6, "dino": 1e-6, "clip": 1e-5}[self.variant]
 
     @nn.compact
-    def __call__(self, x, return_pooled: bool = False, penultimate: bool = False):
+    def __call__(self, x, return_pooled: bool = False, penultimate: bool = False,
+                 raw_tokens: bool = False):
         if self.variant in ("videomae", "videomae2"):
             # x: [b, t, c, h, w] -> tubelet conv3d, NDHWC
             b = x.shape[0]
@@ -186,6 +187,11 @@ class VisionTransformer(nn.Module):
 
         if penultimate:
             return penult
+        if raw_tokens:
+            # all blocks, NO ln_post — the OpenCLIP-V2 token contract
+            # (reference condition.py:263-341 encode_with_vision_transformer
+            # returns the transformer output directly)
+            return hidden
 
         if self.variant == "videomae2":
             # forward_features returns the raw block output (reference

@@ -357,6 +357,78 @@ def port_torch_transformer_encoder(sd: dict, depth: int, prefix: str = "") -> di
     return {"params": p}
 
 
+def port_openclip_text(sd: dict, depth: int, prefix: str = "") -> dict:
+    """OpenCLIP text tower (the naming inside released DynamiCrafter
+    checkpoints: ``cond_stage_model.model.*`` — token_embedding,
+    positional_embedding, transformer.resblocks.{i}.{ln_1,attn,ln_2,mlp},
+    ln_final, text_projection) -> our CLIPTextEncoder tree."""
+    p: dict = {
+        "token_embedding": _np(sd, f"{prefix}token_embedding.weight"),
+        "positional_embedding": _np(sd, f"{prefix}positional_embedding"),
+        "ln_final": {
+            "scale": _np(sd, f"{prefix}ln_final.weight"),
+            "bias": _np(sd, f"{prefix}ln_final.bias"),
+        },
+    }
+    for i in range(depth):
+        pre = f"{prefix}transformer.resblocks.{i}"
+        p[f"blocks_{i}"] = {
+            "ln_1": {"scale": _np(sd, f"{pre}.ln_1.weight"),
+                     "bias": _np(sd, f"{pre}.ln_1.bias")},
+            "qkv": {"kernel": _t(_np(sd, f"{pre}.attn.in_proj_weight")),
+                    "bias": _np(sd, f"{pre}.attn.in_proj_bias")},
+            "proj": {"kernel": _t(_np(sd, f"{pre}.attn.out_proj.weight")),
+                     "bias": _np(sd, f"{pre}.attn.out_proj.bias")},
+            "ln_2": {"scale": _np(sd, f"{pre}.ln_2.weight"),
+                     "bias": _np(sd, f"{pre}.ln_2.bias")},
+            "fc1": {"kernel": _t(_np(sd, f"{pre}.mlp.c_fc.weight")),
+                    "bias": _np(sd, f"{pre}.mlp.c_fc.bias")},
+            "fc2": {"kernel": _t(_np(sd, f"{pre}.mlp.c_proj.weight")),
+                    "bias": _np(sd, f"{pre}.mlp.c_proj.bias")},
+        }
+    if f"{prefix}text_projection" in sd:
+        # open_clip stores the projection as a [width, embed] matrix applied
+        # x @ W — already the flax kernel orientation, no transpose
+        p["text_projection"] = {"kernel": _np(sd, f"{prefix}text_projection")}
+    return {"params": p}
+
+
+def port_openclip_visual(sd: dict, depth: int, prefix: str = "") -> dict:
+    """OpenCLIP vision tower (``embedder.model.visual.*`` inside released
+    DynamiCrafter checkpoints / open_clip ViT) -> our
+    VisionTransformer(variant='clip') tree."""
+    d = _np(sd, f"{prefix}class_embedding").shape[0]
+    p: dict = {
+        "patch_embed": {"kernel": _conv(_np(sd, f"{prefix}conv1.weight"))},
+        "cls_token": _np(sd, f"{prefix}class_embedding").reshape(1, 1, d),
+        "pos_embed": _np(sd, f"{prefix}positional_embedding")[None],
+        "ln_pre": {"scale": _np(sd, f"{prefix}ln_pre.weight"),
+                   "bias": _np(sd, f"{prefix}ln_pre.bias")},
+    }
+    for i in range(depth):
+        pre = f"{prefix}transformer.resblocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": {"scale": _np(sd, f"{pre}.ln_1.weight"),
+                      "bias": _np(sd, f"{pre}.ln_1.bias")},
+            "qkv": {"kernel": _t(_np(sd, f"{pre}.attn.in_proj_weight")),
+                    "bias": _np(sd, f"{pre}.attn.in_proj_bias")},
+            "proj": {"kernel": _t(_np(sd, f"{pre}.attn.out_proj.weight")),
+                     "bias": _np(sd, f"{pre}.attn.out_proj.bias")},
+            "norm2": {"scale": _np(sd, f"{pre}.ln_2.weight"),
+                      "bias": _np(sd, f"{pre}.ln_2.bias")},
+            "fc1": {"kernel": _t(_np(sd, f"{pre}.mlp.c_fc.weight")),
+                    "bias": _np(sd, f"{pre}.mlp.c_fc.bias")},
+            "fc2": {"kernel": _t(_np(sd, f"{pre}.mlp.c_proj.weight")),
+                    "bias": _np(sd, f"{pre}.mlp.c_proj.bias")},
+        }
+    if f"{prefix}ln_post.weight" in sd:
+        p["ln_post"] = {"scale": _np(sd, f"{prefix}ln_post.weight"),
+                        "bias": _np(sd, f"{prefix}ln_post.bias")}
+    if f"{prefix}proj" in sd:
+        p["visual_projection"] = {"kernel": _np(sd, f"{prefix}proj")}
+    return {"params": p}
+
+
 def _port_torch_mha(sd: dict, pre: str) -> dict:
     """torch nn.MultiheadAttention (packed in_proj) -> our MultiHeadAttention."""
     in_w = _np(sd, f"{pre}.in_proj_weight")

@@ -2056,3 +2056,227 @@ def test_apadapter_attention_reference_parity():
         action_emb=jnp.asarray(action),
     )
     np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# OpenCLIP naming (inside released DynamiCrafter checkpoints:
+# cond_stage_model.model.* text tower, embedder.model.visual.* vision tower)
+# -> our CLIPTextEncoder / VisionTransformer(clip), via port_openclip_text /
+# port_openclip_visual. The V2 image contract (ALL blocks, no ln_post) and
+# the penultimate text contract are both asserted.
+# ---------------------------------------------------------------------------
+
+
+class _TOpenCLIPBlock(torch.nn.Module):
+    def __init__(self, d, heads):
+        super().__init__()
+        nn = torch.nn
+        self.heads = heads
+        self.ln_1 = nn.LayerNorm(d)
+        self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(d)
+        self.mlp = nn.ModuleDict(dict(c_fc=nn.Linear(d, 4 * d), c_proj=nn.Linear(4 * d, d)))
+
+    def forward(self, x, mask=None):
+        h = self.ln_1(x)
+        a, _ = self.attn(h, h, h, attn_mask=mask, need_weights=False)
+        x = x + a
+        h = self.ln_2(x)
+        return x + self.mlp.c_proj(torch.nn.functional.gelu(self.mlp.c_fc(h)))
+
+
+class _TOpenCLIPText(torch.nn.Module):
+    def __init__(self, vocab, d, depth, heads, max_len, proj_dim):
+        super().__init__()
+        nn = torch.nn
+        self.token_embedding = nn.Embedding(vocab, d)
+        self.positional_embedding = nn.Parameter(torch.randn(max_len, d) * 0.01)
+        self.transformer = nn.Module()
+        self.transformer.resblocks = nn.ModuleList(
+            [_TOpenCLIPBlock(d, heads) for _ in range(depth)]
+        )
+        self.ln_final = nn.LayerNorm(d)
+        self.text_projection = nn.Parameter(torch.randn(d, proj_dim) * 0.02)
+
+    def forward_penultimate(self, ids):
+        s = ids.shape[1]
+        x = self.token_embedding(ids) + self.positional_embedding[:s]
+        mask = torch.full((s, s), float("-inf")).triu(1)
+        for blk in self.transformer.resblocks[:-1]:  # stop 1 before the end
+            x = blk(x, mask)
+        return self.ln_final(x)
+
+
+class _TOpenCLIPVisual(torch.nn.Module):
+    def __init__(self, d, depth, heads, img, patch):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(3, d, patch, stride=patch, bias=False)
+        self.class_embedding = nn.Parameter(torch.randn(d) * 0.02)
+        n = (img // patch) ** 2 + 1
+        self.positional_embedding = nn.Parameter(torch.randn(n, d) * 0.02)
+        self.ln_pre = nn.LayerNorm(d)
+        self.transformer = nn.Module()
+        self.transformer.resblocks = nn.ModuleList(
+            [_TOpenCLIPBlock(d, heads) for _ in range(depth)]
+        )
+
+    def forward_v2_tokens(self, img):
+        x = self.conv1(img)
+        x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        cls = self.class_embedding[None, None].expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding
+        x = self.ln_pre(x)
+        for blk in self.transformer.resblocks:
+            x = blk(x)
+        return x  # all blocks, NO ln_post (FrozenOpenCLIPImageEmbedderV2)
+
+
+@pytest.mark.slow
+def test_openclip_text_porter_parity():
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.encoders.clip_text import CLIPTextEncoder
+    from motionrag_tpu.utils.porting import port_openclip_text
+
+    vocab, d, depth, heads, max_len = 96, 32, 3, 4, 16
+    tm = _TOpenCLIPText(vocab, d, depth, heads, max_len, proj_dim=d)
+    _randomize(tm, seed=23, scale=0.05)
+    ported = port_openclip_text(_sd_numpy(tm), depth=depth)
+
+    ids = np.array([[3, 7, 11, 2, 9, 1, 0, 5]], dtype=np.int64)
+    with torch.no_grad():
+        out_t = tm.forward_penultimate(torch.from_numpy(ids)).numpy()
+
+    enc = CLIPTextEncoder(vocab_size=vocab, max_length=max_len, dim=d,
+                          depth=depth, heads=heads, projection_dim=d)
+    out_j = enc.apply(ported, jnp.asarray(ids), penultimate=True)
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_openclip_visual_porter_parity():
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.encoders.vit import VisionTransformer
+    from motionrag_tpu.utils.porting import port_openclip_visual
+
+    d, depth, heads, img, patch = 32, 3, 4, 16, 8
+    tm = _TOpenCLIPVisual(d, depth, heads, img, patch)
+    _randomize(tm, seed=29, scale=0.05)
+    ported = port_openclip_visual(_sd_numpy(tm), depth=depth)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 3, img, img), dtype=np.float32)
+    with torch.no_grad():
+        out_t = tm.forward_v2_tokens(torch.from_numpy(x)).numpy()
+
+    enc = VisionTransformer(variant="clip", image_size=img, patch_size=patch,
+                            dim=d, depth=depth, heads=heads, projection_dim=0)
+    out_j = enc.apply(ported, jnp.asarray(x), raw_tokens=True)
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_skill_transformer_reference_parity():
+    """Reference SkillTransformer (per-step prompts flattened (b t) before
+    encode_condition, context-weighted loss) vs ours with ported weights."""
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cama import SkillTransformer
+    from motionrag_tpu.models.layers import TransformerDecoder
+    from motionrag_tpu.models.resampler import Resampler
+    from motionrag_tpu.utils.porting import (
+        port_resampler, port_torch_transformer_decoder,
+    )
+    from motionrag_tpu.utils.porting_diffusion import _t
+
+    ref_module, ref_resampler = _import_reference_condition()
+
+    d, heads, ff, depth = 32, 4, 64, 1
+    nq, ved, ced = 3, 24, 16
+    b, steps, hh = 2, 3, 8
+
+    rng = np.random.default_rng(12)
+    # per-(b*t) prompt embeddings the text stub returns, in flatten order
+    text_tok = rng.standard_normal((b * steps, 4, ced), dtype=np.float32)
+
+    class _TTextListStub(torch.nn.Module):
+        def forward(self, texts):
+            assert len(texts) == b * steps
+            return torch.from_numpy(text_tok)
+
+    tr = torch.nn.TransformerDecoder(
+        torch.nn.TransformerDecoderLayer(
+            d, heads, ff, dropout=0.0, activation="gelu", batch_first=True
+        ),
+        depth,
+    )
+    tm = ref_module.SkillTransformer(
+        vision_model=_TImageStub(3 * hh, ved),
+        vision_proj=ref_resampler.Resampler(
+            dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+            embedding_dim=ved, output_dim=d,
+        ),
+        condition_model=_TTextListStub(),
+        condition_proj=ref_resampler.Resampler(
+            dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+            embedding_dim=ced, output_dim=d,
+        ),
+        transformer=tr,
+        context_weight=0.5,
+        vision_pe=None,
+        condition_pe=None,
+    )
+    _randomize(tm, seed=31, scale=0.1)
+    tm.eval()
+    sd = _sd_numpy(tm)
+
+    frames = rng.standard_normal((b, steps, 3, hh, hh), dtype=np.float32)
+    prompts = [[f"p{i}{j}" for j in range(steps)] for i in range(b)]
+    with torch.no_grad():
+        loss_t = float(tm(torch.from_numpy(frames), prompts, True))
+
+    class JImageStub(fnn.Module):
+        ed: int
+
+        @fnn.compact
+        def __call__(self, im):
+            bk, c, ih, iw = im.shape
+            tok = im.transpose(0, 2, 1, 3).reshape(bk, ih, c * iw)
+            return fnn.Dense(self.ed, name="proj")(tok)
+
+    class JTextIdentity(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            return x
+
+    ours = SkillTransformer(
+        vision_model=JImageStub(ved),
+        vision_proj=Resampler(dim=d, depth=1, dim_head=8, heads=4,
+                              num_queries=nq, embedding_dim=ved, output_dim=d),
+        condition_model=JTextIdentity(),
+        condition_proj=Resampler(dim=d, depth=1, dim_head=8, heads=4,
+                                 num_queries=nq, embedding_dim=ced, output_dim=d),
+        transformer=TransformerDecoder(num_layers=depth, d_model=d, nhead=heads,
+                                       dim_feedforward=ff, activation="gelu"),
+        context_weight=0.5,
+        vision_pe=None,
+        condition_pe=None,
+    )
+
+    def sub(prefix):
+        return {kk[len(prefix):]: vv for kk, vv in sd.items() if kk.startswith(prefix)}
+
+    params = {
+        "vision_model": {"proj": {"kernel": _t(sd["vision_model.proj.weight"]),
+                                  "bias": sd["vision_model.proj.bias"]}},
+        "vision_proj": port_resampler(sub("vision_proj."), depth=1)["params"],
+        "condition_proj": port_resampler(sub("condition_proj."), depth=1)["params"],
+        "transformer": port_torch_transformer_decoder(sub("transformer."), depth=depth)["params"],
+    }
+    # ours takes the pre-encoded per-step text embedding [b, steps, l, ced]
+    cond_j = jnp.asarray(text_tok.reshape(b, steps, 4, ced))
+    loss_j = ours.apply({"params": params}, jnp.asarray(frames), cond_j, True)
+    np.testing.assert_allclose(float(loss_j), loss_t, rtol=2e-4, atol=1e-5)
