@@ -736,6 +736,82 @@ def port_cogvideox_vae(sd: dict, n_levels: int = 4, enc_blocks: int = 3,
     return {"params": {"encoder": enc, "decoder": dec}}
 
 
+def port_dynamicrafter_checkpoint(
+    sd: dict,
+    *,
+    unet_kwargs: dict | None = None,
+    vae_kwargs: dict | None = None,
+    strict: bool = False,
+) -> dict:
+    """One-call converter for a released DynamiCrafter checkpoint: routes
+    every component prefix of the single lvdm ``state_dict`` to its
+    converter and returns the ``DynamiCrafterModule`` param tree
+    ({unet, vae, text_encoder, image_encoder, image_proj} plus MotionRAG's
+    ``action_proj`` when the Motion-Adapter weights are merged in).
+
+    Tower depths and resampler depths are inferred from the key layout.
+    The lvdm ``model_ema.*`` shadow, schedule buffers (betas/alphas/
+    scale_arr — recomputed exactly by LVDMSchedule), and ``logvar`` are
+    intentionally ignored.
+    """
+    import re
+
+    def strip(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def infer_depth(d, pat):
+        mx = -1
+        rex = re.compile(pat)
+        for k in d:
+            m = rex.match(k)
+            if m:
+                mx = max(mx, int(m.group(1)))
+        return mx + 1
+
+    from motionrag_tpu.utils.porting import (
+        port_openclip_text,
+        port_openclip_visual,
+        port_resampler,
+    )
+
+    unet_sd = strip("model.diffusion_model.")
+    out: dict = {
+        "unet": port_lvdm_unet3d(unet_sd, strict=strict, **(unet_kwargs or {})),
+        "vae": port_autoencoder_kl(strip("first_stage_model."), strict=strict,
+                                   **(vae_kwargs or {})),
+    }
+    text_sd = strip("cond_stage_model.model.")
+    if text_sd:
+        te = port_openclip_text(
+            text_sd, depth=infer_depth(text_sd, r"transformer\.resblocks\.(\d+)\.")
+        )
+        # the DC text path uses penultimate tokens only — the pooled
+        # text_projection head is never instantiated by the module
+        te["params"].pop("text_projection", None)
+        out["text_encoder"] = te
+    vis_sd = strip("embedder.model.visual.")
+    if vis_sd:
+        out["image_encoder"] = {"params": {"encoder": port_openclip_visual(
+            vis_sd, depth=infer_depth(vis_sd, r"transformer\.resblocks\.(\d+)\.")
+        )["params"]}}
+    proj_sd = strip("image_proj_model.")
+    if proj_sd:
+        out["image_proj"] = port_resampler(
+            proj_sd, depth=infer_depth(proj_sd, r"layers\.(\d+)\.")
+        )
+    # MotionRAG Motion-Adapter resampler: released adapter files name it
+    # 'resampler.'; merged full checkpoints use 'action_proj_model.'
+    # (reference dynamicrafter/module.py:78-83 remap)
+    for pre in ("action_proj_model.", "resampler."):
+        ap_sd = strip(pre)
+        if ap_sd and "latents" in ap_sd:
+            out["action_proj"] = port_resampler(
+                ap_sd, depth=infer_depth(ap_sd, r"layers\.(\d+)\.")
+            )
+            break
+    return out
+
+
 # ---------------------------------------------------------------------------
 # CompVis/lvdm AutoencoderKL (the DynamiCrafter first stage, SD VAE weights)
 # ---------------------------------------------------------------------------

@@ -23,7 +23,9 @@ def _import_lvdm():
     """Import the vendored lvdm tree as the 'DynamiCrafter' namespace package
     with a minimal lightning stub (lightning is not installed here)."""
     if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
+        # APPEND, never insert(0): the reference tree has its own main.py /
+        # tools/ which would shadow ours for later-imported test modules
+        sys.path.append(REF_ROOT)
     if "lightning" not in sys.modules:
         import importlib.machinery
 
@@ -1533,7 +1535,9 @@ def _import_reference_condition():
     import importlib.machinery
 
     if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+        # APPEND (see _import_lvdm): /root/reference/main.py must not shadow
+        # the repo's main module for the CLI tests that import it later
+        sys.path.append("/root/reference")
     if "lightning" not in sys.modules:
         pl_mod = types.ModuleType("lightning.pytorch")
         pl_mod.LightningModule = torch.nn.Module
@@ -2280,3 +2284,117 @@ def test_skill_transformer_reference_parity():
     cond_j = jnp.asarray(text_tok.reshape(b, steps, 4, ced))
     loss_j = ours.apply({"params": params}, jnp.asarray(frames), cond_j, True)
     np.testing.assert_allclose(float(loss_j), loss_t, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_port_dynamicrafter_checkpoint_assembles_module_tree():
+    """One-call released-checkpoint conversion: a composite tiny lvdm
+    state_dict (vendored UNetModel + AutoencoderKL, open_clip text/visual
+    towers, image_proj resampler, Motion-Adapter resampler) routes through
+    port_dynamicrafter_checkpoint and every produced leaf slots into a
+    geometry-matched DynamiCrafterModule init tree with the right shape."""
+    import jax
+    import jax.numpy as jnp
+
+    _import_lvdm()
+    from DynamiCrafter.lvdm.models.autoencoder import AutoencoderKL
+    from DynamiCrafter.lvdm.modules.networks.openaimodel3d import UNetModel
+
+    from motionrag_tpu.models.dynamicrafter.module import DynamiCrafterModule
+    from motionrag_tpu.models.dynamicrafter.unet3d import UNet3D
+    from motionrag_tpu.models.dynamicrafter.vae import AutoencoderKL2D
+    from motionrag_tpu.models.encoders.clip_text import CLIPTextEncoder
+    from motionrag_tpu.models.encoders.condition import CLIPImageEmbedder
+    from motionrag_tpu.models.resampler import Resampler
+    from motionrag_tpu.utils.porting_diffusion import port_dynamicrafter_checkpoint
+
+    ref_module, ref_resampler = _import_reference_condition()
+
+    ctx, f, hw = 32, 4, 32
+    t_unet = UNetModel(
+        in_channels=8, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=[1, 2], channel_mult=[1, 2], context_dim=ctx,
+        num_head_channels=16, transformer_depth=1, use_linear=True,
+        temporal_conv=True, temporal_attention=True, use_relative_position=False,
+        use_causal_attention=False, temporal_length=f, addition_attention=True,
+        image_cross_attention=True, fs_condition=True, dropout=0.0,
+    )
+    t_vae = AutoencoderKL(
+        dict(double_z=True, z_channels=4, resolution=hw, in_channels=3, out_ch=3,
+             ch=32, ch_mult=[1, 1, 1, 1], num_res_blocks=2, attn_resolutions=[],
+             dropout=0.0),
+        {"target": "torch.nn.Identity"}, embed_dim=4,
+    )
+    t_text = _TOpenCLIPText(96, ctx, 3, 4, 16, proj_dim=ctx)
+    t_vis = _TOpenCLIPVisual(ctx, 2, 4, hw, 8)
+    t_proj = ref_resampler.Resampler(dim=ctx, depth=1, dim_head=8, heads=4,
+                                     num_queries=3, embedding_dim=ctx,
+                                     output_dim=ctx, video_length=f)
+    t_aproj = ref_resampler.Resampler(dim=ctx, depth=1, dim_head=8, heads=4,
+                                      num_queries=4, embedding_dim=ctx,
+                                      output_dim=ctx)
+    for m, seed in ((t_unet, 1), (t_vae, 2), (t_text, 3), (t_vis, 4),
+                    (t_proj, 5), (t_aproj, 6)):
+        _randomize(m, seed=seed, scale=0.05)
+
+    sd = {}
+    for prefix, m in (
+        ("model.diffusion_model.", t_unet), ("first_stage_model.", t_vae),
+        ("cond_stage_model.model.", t_text), ("embedder.model.visual.", t_vis),
+        ("image_proj_model.", t_proj), ("resampler.", t_aproj),
+    ):
+        for k, v in m.state_dict().items():
+            sd[prefix + k] = v.numpy()
+    # schedule buffers a real lvdm checkpoint also carries (must be ignored)
+    sd["betas"] = np.zeros(1000, np.float32)
+    sd["scale_arr"] = np.ones(1000, np.float32)
+
+    ported = port_dynamicrafter_checkpoint(
+        sd,
+        unet_kwargs=dict(channel_mult=(1, 2), num_res_blocks=1,
+                         attention_levels=(0, 1), temporal_attention=True),
+        vae_kwargs=dict(n_levels=4, enc_blocks=2, dec_blocks=3),
+    )
+    assert set(ported) == {"unet", "vae", "text_encoder", "image_encoder",
+                           "image_proj", "action_proj"}
+
+    module = DynamiCrafterModule(
+        unet=UNet3D(in_channels=8, out_channels=4, model_channels=32,
+                    num_res_blocks=1, attention_resolutions=(1, 2),
+                    channel_mult=(1, 2), num_head_channels=16,
+                    transformer_depth=1, context_dim=ctx, temporal_conv=True,
+                    temporal_attention=True, addition_attention=True,
+                    image_cross_attention=True, fs_condition=True,
+                    dtype=jnp.float32),
+        vae=AutoencoderKL2D(latent_channels=4,
+                            block_out_channels=(32, 32, 32, 32),
+                            dtype=jnp.float32),
+        text_encoder=CLIPTextEncoder(vocab_size=96, max_length=16, dim=ctx,
+                                     depth=3, heads=4, projection_dim=ctx),
+        image_encoder=CLIPImageEmbedder(image_size=hw, patch_size=8, dim=ctx,
+                                        depth=2, heads=4, projection_dim=0,
+                                        pooled=False, final_tokens=True,
+                                        dtype=jnp.float32),
+        image_proj=Resampler(dim=ctx, depth=1, dim_head=8, heads=4,
+                             num_queries=3, embedding_dim=ctx, output_dim=ctx,
+                             video_length=f),
+        dtype=jnp.float32,
+    )
+    batch = {
+        "video": jnp.zeros((1, f, 3, hw, hw), jnp.float32),
+        "prompt_ids": jnp.zeros((1, 16), jnp.int32),
+    }
+    ref_tree = module.init_params(jax.random.key(0), batch)
+
+    flat_ref = {
+        tuple(str(k) for k in path): leaf.shape
+        for path, leaf in jax.tree_util.tree_flatten_with_path(ref_tree)[0]
+    }
+    checked = 0
+    for comp in ("unet", "vae", "text_encoder", "image_encoder", "image_proj"):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(ported[comp])[0]:
+            key = (f"['{comp}']",) + tuple(str(k) for k in path)
+            assert key in flat_ref, f"ported {key} not in module tree"
+            assert flat_ref[key] == np.shape(leaf), f"shape mismatch at {key}"
+            checked += 1
+    assert checked > 200  # whole-model coverage, not a few leaves
