@@ -130,6 +130,7 @@ class CogVideoXImageToVideoPipeline:
         scheduler: str = "ddim",
         step_range: tuple | None = None,
         dpm_carry=None,
+        sampler_rng=None,
     ):
         text2 = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
 
@@ -174,7 +175,8 @@ class CogVideoXImageToVideoPipeline:
             )
         return dpm_sample_loop(
             self.schedule, denoise_fn, noise, num_inference_steps,
-            guidance_scale=guidance_scale, step_range=step_range,
+            guidance_scale=guidance_scale, rng=sampler_rng,
+            step_range=step_range,
             init_carry=dpm_carry, return_carry=step_range is not None,
         )
 
@@ -182,6 +184,7 @@ class CogVideoXImageToVideoPipeline:
         self, params, noise, image_latents, prompt_embeds, negative_embeds,
         action_emb, guidance_scale, num_inference_steps: int,
         use_dynamic_cfg: bool, scheduler: str, steps_per_launch: int,
+        sampler_rng=None,
     ):
         """Split the denoise loop into several device launches. The tunneled
         v5e runtime kills single programs running past ~60 s; the 5.57B DiT
@@ -195,7 +198,7 @@ class CogVideoXImageToVideoPipeline:
                 params, x, image_latents, prompt_embeds, negative_embeds,
                 action_emb, guidance_scale, num_inference_steps,
                 use_dynamic_cfg, scheduler, (lo, hi),
-                dpm_carry=carry,
+                dpm_carry=carry, sampler_rng=sampler_rng,
             )
             if scheduler == "ddim" and self.cache_threshold <= 0:
                 x = out
@@ -225,7 +228,7 @@ class CogVideoXImageToVideoPipeline:
     ) -> jnp.ndarray:
         """image: [-1,1] [b, c, h, w] -> video [-1,1] [b, f, c, h, w]."""
         b = image.shape[0]
-        rng_lat, rng_img, rng_act = jax.random.split(rng, 3)
+        rng_lat, rng_img, rng_act, rng_smp = jax.random.split(rng, 4)
 
         if prompt_embeds is None:
             prompt_embeds = self.encode_prompt(params, prompt_ids)
@@ -265,13 +268,13 @@ class CogVideoXImageToVideoPipeline:
                     params, noise, image_latents, prompt_embeds,
                     negative_prompt_embeds, action_emb, guidance_scale,
                     num_inference_steps, use_dynamic_cfg, self.scheduler_name,
-                    steps_per_launch,
+                    steps_per_launch, sampler_rng=rng_smp,
                 )
             else:
                 latents = self._sample(
                     params, noise, image_latents, prompt_embeds, negative_prompt_embeds,
                     action_emb, guidance_scale, num_inference_steps,
-                    use_dynamic_cfg, self.scheduler_name,
+                    use_dynamic_cfg, self.scheduler_name, sampler_rng=rng_smp,
                 )
             frames = self._decode_latents(params, latents)
         # [b, f, h, w, 3] -> [b, f, 3, h, w]

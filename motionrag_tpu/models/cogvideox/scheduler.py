@@ -174,53 +174,71 @@ def dpm_sample_loop(
     latents: jnp.ndarray,
     num_inference_steps: int,
     guidance_scale: float = 6.0,
+    rng=None,
     step_range: tuple | None = None,
     init_carry=None,
     return_carry: bool = False,
 ):
-    """DPM-Solver++(2M) over the same v-pred schedule (log-sigma multistep).
+    """SDE-DPM-Solver++(2M) — the reference protocol's sampler
+    (``configs/cogvideox/MotionRAG_open.yml:194`` sets ``scheduler: "dpm"``,
+    loading diffusers' CogVideoXDPMScheduler, which is the *stochastic*
+    DPM-Solver++ variant):
 
-    First step falls back to first-order (DDIM-like); afterwards the 2M
-    correction uses the previous model output. ``step_range``/``init_carry``/
-    ``return_carry`` support segmented launches: pass the returned carry
-    (the previous step's x0) into the next segment.
+        x_prev = m1 * x  - m2 * D  + sqrt(1-a_prev) * sqrt(-expm1(-2h)) * z
+        m1 = sqrt((1-a_prev)/(1-a_t)) * exp(-h)
+        m2 = expm1(-2h) * sqrt(a_prev)                       (negative)
+        D  = (1 + 1/(2r)) * x0 - 1/(2r) * x0_previous        (first step: x0)
+
+    with lambda = log sqrt(a/(1-a)), h = lambda_prev - lambda_t,
+    r = h_last / h, prev timestep = t - T//steps. The final step
+    (a_prev = 1, h -> inf) reduces exactly to ``x_prev = x0`` and is
+    special-cased. Per-step noise is ``fold_in(rng, i)``: segmented
+    launches (``step_range``/``init_carry``) are bit-identical to one
+    launch. carry = the previous step's x0 for the 2M correction.
     """
+    import jax
+
     ts = jnp.asarray(schedule.timesteps(num_inference_steps))
     acp = schedule.alphas_cumprod
     n = num_inference_steps
+    if rng is None:
+        rng = jax.random.key(0)
 
-    def lam(a):  # log-SNR/2
-        return 0.5 * (jnp.log(a) - jnp.log(1.0 - a))
+    def lam(a):  # log sqrt(a / (1-a))
+        return 0.5 * (jnp.log(a) - jnp.log1p(-a))
 
     def body(i, carry):
         x, prev_x0 = carry
         t = ts[i]
         a_t = acp[t]
-        # diffusers convention (see cfg_and_step): prev = t - T//steps
         t_prev = t - schedule.num_train_timesteps // n
-        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0 - 1e-8)
+        last_step = t_prev < 0
+        a_prev = jnp.where(last_step, 1.0, acp[jnp.maximum(t_prev, 0)])
+        # a_prev = 1 makes lambda_prev infinite; compute with a dummy and
+        # select the exact limit (x_prev = x0) at the end
+        a_safe = jnp.where(last_step, jnp.float32(0.5), a_prev)
 
         v_u, v_c = denoise_fn(x, t)
         v = v_u + guidance_scale * (v_c - v_u)
         xf = x.astype(jnp.float32)
         x0, _ = schedule.to_x0_eps(v.astype(jnp.float32), xf, a_t)
 
-        l_t, l_prev = lam(a_t), lam(a_prev)
+        l_t, l_prev = lam(a_t), lam(a_safe)
         h = l_prev - l_t
-        sigma_t = jnp.sqrt(1.0 - a_t)
-        sigma_prev = jnp.sqrt(1.0 - a_prev)
+        m1 = jnp.sqrt((1.0 - a_safe) / (1.0 - a_t)) * jnp.exp(-h)
+        m2 = jnp.expm1(-2.0 * h) * jnp.sqrt(a_safe)
 
-        # 2M correction (skip on first step)
-        t_last = ts[jnp.maximum(i - 1, 0)]
-        a_last = acp[t_last]
-        h_last = l_t - lam(a_last)
-        r = h_last / jnp.maximum(jnp.abs(h), 1e-8) * jnp.sign(h)
-        d = jnp.where(i > 0, x0 + (x0 - prev_x0) / (2.0 * jnp.maximum(r, 1e-8)) - x0, 0.0)
-        x0_used = x0 + jnp.where(i > 0, d, 0.0)
+        # 2M correction from the previous step's x0 (lax.select keeps the
+        # first step safe from the r=0 division)
+        a_back = acp[ts[jnp.maximum(i - 1, 0)]]
+        r = (l_t - lam(a_back)) / h
+        corr = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * prev_x0
+        d = jnp.where(i == 0, x0, corr)
 
-        x_prev = (sigma_prev / sigma_t) * xf + jnp.sqrt(a_prev) * (
-            -jnp.expm1(-h)
-        ) * x0_used
+        z = jax.random.normal(jax.random.fold_in(rng, i), x.shape, jnp.float32)
+        noise_mult = jnp.sqrt(1.0 - a_safe) * jnp.sqrt(-jnp.expm1(-2.0 * h))
+        x_prev = m1 * xf - m2 * d + noise_mult * z
+        x_prev = jnp.where(last_step, x0, x_prev)
         return (x_prev.astype(x.dtype), x0)
 
     lo, hi = step_range or (0, n)

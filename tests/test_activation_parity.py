@@ -2398,3 +2398,81 @@ def test_port_dynamicrafter_checkpoint_assembles_module_tree():
             assert flat_ref[key] == np.shape(leaf), f"shape mismatch at {key}"
             checked += 1
     assert checked > 200  # whole-model coverage, not a few leaves
+
+
+@pytest.mark.parametrize("steps", [5, 6])
+def test_cogvideox_dpm_sde_trajectory_parity(steps):
+    """SDE-DPM-Solver++(2M) (the reference protocol sampler — its CogVideoX
+    config sets scheduler: 'dpm', i.e. diffusers CogVideoXDPMScheduler):
+    torch mirror of the stochastic multistep update vs our dpm_sample_loop,
+    fed the identical per-step noise sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cogvideox.scheduler import (
+        CogVideoXSchedule, dpm_sample_loop,
+    )
+
+    T, g = 1000, 3.0
+    acp = _t_cog_alphas(T).double()
+    ts = (np.round(np.arange(T, 0, -T / steps)).astype(np.int64) - 1)[:steps]
+
+    rng = np.random.default_rng(13)
+    x0_np = rng.standard_normal((1, 2, 4, 4, 3), dtype=np.float32)
+    w = rng.standard_normal((2,), dtype=np.float32) * 0.2
+
+    key = jax.random.key(42)
+    shape = x0_np.shape
+    noises = [np.asarray(jax.random.normal(jax.random.fold_in(key, i), shape,
+                                           jnp.float32)) for i in range(steps)]
+
+    def v_t(x, t):
+        tt = float(t) / T
+        vc = 0.4 * torch.tanh(x) + tt * 0.1 * x + float(w[0])
+        vu = 0.3 * torch.tanh(x) + float(w[1])
+        return vu, vc
+
+    def lam(a):
+        return 0.5 * (np.log(a) - np.log1p(-a))
+
+    x = torch.from_numpy(x0_np.copy()).double()
+    old_x0 = None
+    for i in range(steps):
+        t = int(ts[i])
+        a_t = float(acp[t])
+        t_prev = t - T // steps
+        vu, vc = v_t(x, t)
+        v = vu + g * (vc - vu)
+        x0 = np.sqrt(a_t) * x - np.sqrt(1 - a_t) * v
+        if t_prev < 0:
+            x = x0  # a_prev = 1 limit
+            old_x0 = x0
+            continue
+        a_prev = float(acp[t_prev])
+        h = lam(a_prev) - lam(a_t)
+        m1 = np.sqrt((1 - a_prev) / (1 - a_t)) * np.exp(-h)
+        m2 = np.expm1(-2 * h) * np.sqrt(a_prev)
+        if old_x0 is None:
+            d = x0
+        else:
+            a_back = float(acp[int(ts[i - 1])])
+            r = (lam(a_t) - lam(a_back)) / h
+            d = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * old_x0
+        nm = np.sqrt(1 - a_prev) * np.sqrt(-np.expm1(-2 * h))
+        x = m1 * x - m2 * d + nm * torch.from_numpy(noises[i]).double()
+        old_x0 = x0
+    out_t = x.float().numpy()
+
+    sched = CogVideoXSchedule()
+
+    def v_j(x, t):
+        tt = jnp.float32(t) / T
+        vc = 0.4 * jnp.tanh(x) + tt * 0.1 * x + float(w[0])
+        vu = 0.3 * jnp.tanh(x) + float(w[1])
+        return vu, vc
+
+    out_j = dpm_sample_loop(
+        sched, v_j, jnp.asarray(x0_np), num_inference_steps=steps,
+        guidance_scale=g, rng=key,
+    )
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=3e-4, atol=3e-4)
