@@ -54,6 +54,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scheduler", choices=["dpm", "ddim"], default="dpm",
+                    help="protocol sampler: the reference CogVideoX config "
+                    "sets scheduler: 'dpm' (SDE-DPM-Solver++ 2M); 'ddim' "
+                    "for comparison")
     ap.add_argument("--frames", type=int, default=17,
                     help="49 = the north-star protocol (17,550 video tokens)")
     ap.add_argument("--cache-threshold", type=float, default=0.0,
@@ -209,7 +213,9 @@ def main():
         ).astype(dtype)
         lat = pipe._sample_segmented(params, noise, image_latents, pe,
                                      jnp.zeros_like(pe), None, 6.0, steps,
-                                     False, "ddim", steps_per_launch=spl)
+                                     False, args.scheduler,
+                                     steps_per_launch=spl,
+                                     sampler_rng=jax.random.key(seed + 2))
         float(jnp.mean(lat.astype(jnp.float32)))  # force completion
         return lat
 
