@@ -14,7 +14,8 @@ A100-class hardware; BASELINE.md). Weights are random (wall-clock is
 value-independent); shapes, step counts, and sampler numerics
 (zero-terminal-SNR, dynamic rescale, v-param) match the reference protocol.
 
-``--svd`` additionally measures SVD 25f 576x1024 (25 Euler steps + CFG);
+``--svd`` additionally measures SVD at the reference protocol shape
+(16f 576x1024, 25 Euler steps + CFG);
 the reference publishes no SVD wall-clock, so it is detail-only.
 Run with --small for a quick CPU smoke test.
 """
@@ -67,7 +68,9 @@ def bench_svd(small: bool):
         clip = CLIPImageEmbedder(image_size=28, patch_size=14, dim=32, depth=1,
                                  heads=2, projection_dim=48, dtype=dtype)
     else:
-        height, width, num_frames, steps = 576, 1024, 25, 25
+        # the reference SVD protocol generates 16 frames
+        # (configs/svd/MotionRAG_open.yml:145-149), 25 Euler steps default
+        height, width, num_frames, steps = 576, 1024, 16, 25
         unet = UNetSpatioTemporal(dtype=dtype)  # full SVD scale
         vae = AutoencoderKLTemporalDecoder(dtype=dtype)
         clip = CLIPImageEmbedder(dtype=dtype)  # ViT-H/14

@@ -53,7 +53,10 @@ def _start_watchdog(stale_s: float) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=25,
+                    help="protocol: 25 (reference cogvideox configs)")
+    ap.add_argument("--guidance", type=float, default=3.0,
+                    help="protocol: 3.0 (reference cogvideox configs)")
     ap.add_argument("--scheduler", choices=["dpm", "ddim"], default="dpm",
                     help="protocol sampler: the reference CogVideoX config "
                     "sets scheduler: 'dpm' (SDE-DPM-Solver++ 2M); 'ddim' "
@@ -212,7 +215,8 @@ def main():
             (1, f_lat, h // 8, w // 8, vae.latent_channels), jnp.float32,
         ).astype(dtype)
         lat = pipe._sample_segmented(params, noise, image_latents, pe,
-                                     jnp.zeros_like(pe), None, 6.0, steps,
+                                     jnp.zeros_like(pe), None,
+                                     args.guidance, steps,
                                      False, args.scheduler,
                                      steps_per_launch=spl,
                                      sampler_rng=jax.random.key(seed + 2))
