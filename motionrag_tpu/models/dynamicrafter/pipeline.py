@@ -138,7 +138,14 @@ class DynamiCrafterPipeline:
         **unused: Any,
     ) -> jnp.ndarray:
         """batch: {'video' [-1,1] [b,f,c,h,w], 'prompt_ids', 'ref_videos'?}
-        -> generated video [-1,1] [b, f, c, h, w]."""
+        -> generated video [-1,1] [b, f, c, h, w].
+
+        Reference config spellings are accepted as aliases so the YAMLs port
+        verbatim (``num_inference_steps`` -> ddim_steps, ``frame_stride`` ->
+        fs — reference ``configs/dynamicrafter/MotionRAG_open.yml:165-171``;
+        unknown keys would otherwise be silently swallowed)."""
+        ddim_steps = int(unused.pop("num_inference_steps", ddim_steps))
+        fs = unused.pop("frame_stride", fs)
         module = self.module
         video = jnp.asarray(batch["video"])
         b = video.shape[0]

@@ -241,3 +241,16 @@ def test_dc_adaptive_cache_sampling():
     np.testing.assert_array_equal(np.asarray(exact3), np.asarray(zero3))
     cached3 = ddim_sample_dual_cfg(sched, fn3, x0, 8, cache_threshold=0.05)
     assert np.isfinite(np.asarray(cached3)).all()
+
+
+def test_pipeline_accepts_reference_kwarg_spellings(monkeypatch):
+    """A verbatim reference DC config passes num_inference_steps /
+    frame_stride; the pipeline must map them onto ddim_steps / fs instead of
+    silently swallowing them into **unused."""
+    import inspect
+
+    from motionrag_tpu.models.dynamicrafter.pipeline import DynamiCrafterPipeline
+
+    src = inspect.getsource(DynamiCrafterPipeline.__call__)
+    assert 'unused.pop("num_inference_steps"' in src
+    assert 'unused.pop("frame_stride"' in src

@@ -37,6 +37,7 @@ cd /root/repo
 # generous timeout: if any traced line changed since the cache was warmed,
 # this run re-warms .jax_cache so the driver's end-of-round bench hits it
 run bench_full        2700 python bench.py
+run cog17             3600 python tools/bench_cogvideox.py
 run int8gemm           900 python tools/bench_int8_gemm.py
 run cog17_int8        3600 python tools/bench_cogvideox.py --quantize int8
 run cog17_int8_batched 3600 python tools/bench_cogvideox.py --quantize int8 --cfg-mode batched
