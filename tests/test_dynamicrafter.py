@@ -243,14 +243,28 @@ def test_dc_adaptive_cache_sampling():
     assert np.isfinite(np.asarray(cached3)).all()
 
 
-def test_pipeline_accepts_reference_kwarg_spellings(monkeypatch):
+def test_pipeline_accepts_reference_kwarg_spellings(dc_setup):
     """A verbatim reference DC config passes num_inference_steps /
     frame_stride; the pipeline must map them onto ddim_steps / fs instead of
-    silently swallowing them into **unused."""
-    import inspect
-
-    from motionrag_tpu.models.dynamicrafter.pipeline import DynamiCrafterPipeline
-
-    src = inspect.getsource(DynamiCrafterPipeline.__call__)
-    assert 'unused.pop("num_inference_steps"' in src
-    assert 'unused.pop("frame_stride"' in src
+    silently swallowing them into **unused (reference
+    MotionRAG_open.yml:165-171 spellings)."""
+    module, params, batch = dc_setup
+    ours = module.eval_pipeline(
+        params, batch, jax.random.key(2),
+        num_frames=4, height=32, width=32, ddim_steps=2, fs=9.0,
+    )
+    aliased = module.eval_pipeline(
+        params, batch, jax.random.key(2),
+        num_frames=4, height=32, width=32, num_inference_steps=2,
+        frame_stride=9.0,
+    )
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(aliased))
+    # a DIFFERENT aliased step count must change the trajectory — proves the
+    # alias is consumed, not silently swallowed (the tiny fixture UNet has
+    # fs_condition off, so step count is the observable knob)
+    other = module.eval_pipeline(
+        params, batch, jax.random.key(2),
+        num_frames=4, height=32, width=32, num_inference_steps=3,
+        frame_stride=9.0,
+    )
+    assert np.abs(np.asarray(other) - np.asarray(ours)).max() > 0
