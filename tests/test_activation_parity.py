@@ -2476,3 +2476,89 @@ def test_cogvideox_dpm_sde_trajectory_parity(steps):
         guidance_scale=g, rng=key,
     )
     np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_port_checkpoint_cli_motion_transformer(tmp_path):
+    """tools/port_checkpoint.py end-to-end on a synthetic MotionRAG
+    motion_transformer.ckpt: load -> route -> Orbax save -> restore, and
+    the restored tree drives our ActionTransformer."""
+    import subprocess
+
+    import jax
+    import jax.numpy as jnp
+
+    from motionrag_tpu.models.cama import ActionTransformer
+    from motionrag_tpu.models.layers import TransformerEncoder
+    from motionrag_tpu.models.resampler import Resampler
+    from motionrag_tpu.training.checkpoints import restore_checkpoint
+
+    ref_module, rr = _import_reference_condition()
+
+    d, nq, ved, ced = 32, 3, 24, 24
+    tr = torch.nn.TransformerEncoder(
+        torch.nn.TransformerEncoderLayer(d, 4, 64, dropout=0.0,
+                                         activation="gelu", batch_first=True), 2)
+    sd = {"sos_token": torch.randn(1, nq, d)}
+    for k, v in tr.state_dict().items():
+        sd[f"transformer.{k}"] = v
+    for name, ed in (("vision_proj", ved), ("condition_proj", ced)):
+        rs = rr.Resampler(dim=d, depth=1, dim_head=8, heads=4, num_queries=nq,
+                          embedding_dim=ed, output_dim=d)
+        for k, v in rs.state_dict().items():
+            sd[f"{name}.{k}"] = v
+    src = tmp_path / "mt.ckpt"
+    torch.save({"state_dict": sd}, src)
+
+    out_dir = tmp_path / "ported"
+    r = subprocess.run(
+        [sys.executable, "tools/port_checkpoint.py", "--family",
+         "motion-transformer", "--src", str(src), "--out", str(out_dir)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "ported motion-transformer" in r.stdout
+
+    tree = restore_checkpoint(out_dir)
+    p = tree["params"]
+    assert set(p) >= {"sos_token", "vision_proj", "condition_proj", "transformer"}
+    assert np.shape(p["sos_token"]) == (1, nq, d)
+
+    # the restored subtrees drive our model (stub pixel encoders)
+    import flax.linen as fnn
+
+    class JVid(fnn.Module):
+        @fnn.compact
+        def __call__(self, v):
+            bk, t = v.shape[:2]
+            return fnn.Dense(ved, name="proj")(v.reshape(bk, t, -1))
+
+    class JImg(fnn.Module):
+        @fnn.compact
+        def __call__(self, im):
+            bk, c, h, w = im.shape
+            return fnn.Dense(ced, name="proj")(
+                im.transpose(0, 2, 1, 3).reshape(bk, h, c * w))
+
+    ours = ActionTransformer(
+        vision_model=JVid(), vision_proj=Resampler(dim=d, depth=1, dim_head=8,
+            heads=4, num_queries=nq, embedding_dim=ved, output_dim=d),
+        condition_model=JImg(), condition_proj=Resampler(dim=d, depth=1,
+            dim_head=8, heads=4, num_queries=nq, embedding_dim=ced, output_dim=d),
+        transformer=TransformerEncoder(num_layers=2, d_model=d, nhead=4,
+                                       dim_feedforward=64, activation="gelu"),
+    )
+    batch = {
+        "ref_videos": jnp.zeros((1, 2, 2, 3, 8, 8), jnp.float32),
+        "video": jnp.zeros((1, 2, 3, 8, 8), jnp.float32),
+    }
+    init = ours.apply  # build full params: stub encoders random-init + ported
+    full = dict(p)
+    enc_params = ActionTransformer.init(
+        ours, jax.random.key(0),
+        jnp.zeros((1, 3, 2, 3, 8, 8)), jnp.zeros((1, 3, 3, 8, 8)),
+    )["params"]
+    for k in ("vision_model", "condition_model"):
+        full[k] = enc_params[k]
+    loss = ours.apply({"params": full}, batch, True, False, method="batch_forward")
+    assert np.isfinite(float(loss.main))
