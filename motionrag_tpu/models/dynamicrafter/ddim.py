@@ -125,11 +125,17 @@ def ddim_sample(
     parameterization: str = "v",
     timestep_spacing: str = "uniform_trailing",
     eta: float = 0.0,
+    rng=None,
     cache_threshold: float = 0.0,
 ):
     """DDIM loop under lax.fori_loop.
 
     denoise_fn(x, t) -> (pred_cond, pred_uncond); latents [b, t, h, w, c].
+    ``eta > 0`` is the ancestral DDIM the reference's DC eval actually runs
+    (its pipeline wrapper defaults ddim_eta=1.0, pipelines/pipeline.py:28):
+    sigma_t = eta*sqrt((1-a_prev)/(1-a_t)*(1-a_t/a_prev)) per lvdm
+    make_ddim_sampling_parameters, per-step noise from fold_in(rng, i).
+    eta=0 traces the exact noise-free loop (unchanged HLO).
     ``cache_threshold > 0`` enables opt-in adaptive output caching
     (models/sampler_cache.py); 0.0 is bit-identical to the exact loop.
     """
@@ -180,12 +186,29 @@ def ddim_sample(
             )
             pred_x0 = pred_x0 * (prev_scale / scale_t)
 
-        dir_xt = jnp.sqrt(1.0 - a_prev) * e_t  # eta=0
-        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        if eta > 0.0:
+            import jax
+
+            sigma = eta * jnp.sqrt(
+                (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+            )
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * e_t
+            z = jax.random.normal(
+                jax.random.fold_in(rng_key, i), x.shape, jnp.float32
+            )
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * z
+        else:
+            dir_xt = jnp.sqrt(1.0 - a_prev) * e_t
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
         x_prev = x_prev.astype(x.dtype)
         if cache_threshold > 0.0:
             return (x_prev,) + tuple(cache)
         return x_prev
+
+    if eta > 0.0:
+        import jax
+
+        rng_key = rng if rng is not None else jax.random.key(0)
 
     if cache_threshold > 0.0:
         from motionrag_tpu.models.sampler_cache import init_cache
@@ -204,6 +227,8 @@ def ddim_sample_dual_cfg(
     image_guidance_scale: float = 1.0,
     guidance_rescale: float = 0.0,
     timestep_spacing: str = "uniform_trailing",
+    eta: float = 0.0,
+    rng=None,
     cache_threshold: float = 0.0,
 ):
     """Dual-CFG DDIM (reference ``lvdm/models/samplers/ddim_multiplecond.py``):
@@ -212,7 +237,8 @@ def ddim_sample_dual_cfg(
         out = e_uc + s_img * (e_img_only - e_uc) + s_txt * (e_full - e_img_only)
 
     denoise_fn3(x, t) -> (pred_full, pred_img_only, pred_uncond), typically a
-    batched-3x model call.
+    batched-3x model call. ``eta`` as in :func:`ddim_sample` (the reference
+    wrapper defaults ddim_eta=1.0).
     """
     ts_np = schedule.ddim_timesteps(num_steps, timestep_spacing)
     ts = jnp.asarray(ts_np)
@@ -251,11 +277,28 @@ def ddim_sample_dual_cfg(
                 idx > 0, scale_arr[ts[jnp.maximum(idx - 1, 0)]], scale_arr[ts[0]]
             )
             pred_x0 = pred_x0 * (prev_scale / scale_arr[t])
-        x_prev = jnp.sqrt(a_prev) * pred_x0 + jnp.sqrt(1.0 - a_prev) * e_t
+        if eta > 0.0:
+            import jax
+
+            sigma = eta * jnp.sqrt(
+                (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+            )
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * e_t
+            z = jax.random.normal(
+                jax.random.fold_in(rng_key, i), x.shape, jnp.float32
+            )
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * z
+        else:
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + jnp.sqrt(1.0 - a_prev) * e_t
         x_prev = x_prev.astype(x.dtype)
         if cache_threshold > 0.0:
             return (x_prev,) + tuple(cache)
         return x_prev
+
+    if eta > 0.0:
+        import jax
+
+        rng_key = rng if rng is not None else jax.random.key(0)
 
     if cache_threshold > 0.0:
         from motionrag_tpu.models.sampler_cache import init_cache

@@ -81,9 +81,12 @@ class DynamiCrafterPipeline:
         ]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_steps", "guidance_rescale_f"))
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "num_steps", "guidance_rescale_f", "eta_f", "spacing"))
     def _sample(self, params, noise, c_concat, ctx_cond, ctx_uncond, fs,
-                guidance_scale, num_steps: int, guidance_rescale_f: float = 0.0):
+                guidance_scale, num_steps: int, guidance_rescale_f: float = 0.0,
+                eta_f: float = 0.0, spacing: str = "uniform_trailing",
+                sampler_rng=None):
         module = self.module
 
         def unet_call(x, t, ctx):
@@ -119,7 +122,9 @@ class DynamiCrafterPipeline:
         return ddim_sample(
             module.schedule, denoise_fn, noise, num_steps,
             guidance_scale=guidance_scale, guidance_rescale=guidance_rescale_f,
-            parameterization="v", cache_threshold=self.cache_threshold,
+            parameterization="v", timestep_spacing=spacing,
+            eta=eta_f, rng=sampler_rng,
+            cache_threshold=self.cache_threshold,
         )
 
     def __call__(
@@ -132,7 +137,13 @@ class DynamiCrafterPipeline:
         width: int = 512,
         ddim_steps: int = 30,
         unconditional_guidance_scale: float = 7.5,
-        guidance_rescale: float = 0.7,
+        # the reference wrapper's eval defaults (pipelines/pipeline.py:28-34):
+        # ancestral DDIM eta=1.0, 'uniform' spacing, no guidance rescale —
+        # these, not DynamiCrafter's own inference script settings, are what
+        # the published MotionRAG protocol ran
+        guidance_rescale: float = 0.0,
+        ddim_eta: float = 1.0,
+        timestep_spacing: str = "uniform",
         fs: float | None = None,
         decode_chunk_size: int = 4,
         **unused: Any,
@@ -146,11 +157,12 @@ class DynamiCrafterPipeline:
         unknown keys would otherwise be silently swallowed)."""
         ddim_steps = int(unused.pop("num_inference_steps", ddim_steps))
         fs = unused.pop("frame_stride", fs)
+        ddim_eta = float(unused.pop("eta", ddim_eta))
         module = self.module
         video = jnp.asarray(batch["video"])
         b = video.shape[0]
         image = video[:, 0]
-        rng_lat, rng_act = jax.random.split(rng)
+        rng_lat, rng_act, rng_smp = jax.random.split(rng, 3)
 
         neg_ids = batch.get("negative_prompt_ids")
         prompt_ids = batch.get("prompt_ids")
@@ -190,6 +202,8 @@ class DynamiCrafterPipeline:
             latents = self._sample(
                 params, noise, c_concat, ctx_cond, ctx_uncond, fs_arr,
                 unconditional_guidance_scale, ddim_steps, guidance_rescale,
+                eta_f=float(ddim_eta), spacing=timestep_spacing,
+                sampler_rng=rng_smp,
             )
 
             # per-frame VAE decode (perframe_ae)

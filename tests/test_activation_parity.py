@@ -2562,3 +2562,83 @@ def test_port_checkpoint_cli_motion_transformer(tmp_path):
         full[k] = enc_params[k]
     loss = ours.apply({"params": full}, batch, True, False, method="batch_forward")
     assert np.isfinite(float(loss.main))
+
+
+@pytest.mark.slow
+def test_ddim_eta1_trajectory_parity():
+    """Ancestral DDIM (eta=1.0, 'uniform' spacing, rescale 0) — the exact
+    defaults the reference's DC eval wrapper runs
+    (pipelines/pipeline.py:28-34) — vendored sampler vs our ddim_sample with
+    an identical injected noise sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    lvdm = _import_lvdm()
+    import DynamiCrafter.lvdm.models.samplers.ddim as vendored_ddim
+    from DynamiCrafter.lvdm.models.samplers.ddim import DDIMSampler
+
+    from motionrag_tpu.models.dynamicrafter.ddim import LVDMSchedule, ddim_sample
+
+    b, c, t, h, w = 1, 3, 2, 4, 4
+    steps = 6
+    rng = np.random.default_rng(14)
+    x_T = rng.standard_normal((b, c, t, h, w), dtype=np.float32)
+    cond_vec = rng.standard_normal((b, c, t, h, w), dtype=np.float32)
+    uncond_vec = rng.standard_normal((b, c, t, h, w), dtype=np.float32)
+
+    key = jax.random.key(77)
+    # our loop draws fold_in(key, i) per executed step, jax layout
+    jax_noises = [
+        np.asarray(jax.random.normal(jax.random.fold_in(key, i),
+                                     (b, t, h, w, c), jnp.float32))
+        # 'uniform' spacing at 1000/6 yields ceil = 7 schedule entries
+        for i in range(steps + 1)
+    ]
+    torch_noises = iter([n.transpose(0, 4, 1, 2, 3) for n in jax_noises])
+    orig_noise_like = vendored_ddim.noise_like
+    vendored_ddim.noise_like = (
+        lambda shape, device, repeat=False: torch.from_numpy(next(torch_noises))
+    )
+    try:
+        def denoise_torch(x, tt, cond):
+            cv = cond["c_crossattn"]
+            tscaled = (tt.float() / 1000.0).reshape(-1, 1, 1, 1, 1)
+            return 0.3 * torch.tanh(x) + 0.2 * cv + 0.05 * tscaled * x
+
+        stub = _StubLVDM(denoise_torch)
+        DDIMSampler.register_buffer = lambda self, name, attr: setattr(self, name, attr)
+        sampler = DDIMSampler(stub)
+        with torch.no_grad():
+            samples_t, _ = sampler.sample(
+                S=steps, batch_size=b, shape=(c, t, h, w),
+                conditioning={"c_crossattn": torch.from_numpy(cond_vec)},
+                unconditional_conditioning={"c_crossattn": torch.from_numpy(uncond_vec)},
+                unconditional_guidance_scale=2.0, guidance_rescale=0.0,
+                x_T=torch.from_numpy(x_T), timestep_spacing="uniform",
+                eta=1.0, verbose=False, schedule_verbose=False,
+            )
+        samples_t = samples_t.numpy()
+    finally:
+        vendored_ddim.noise_like = orig_noise_like
+
+    schedule = LVDMSchedule(
+        rescale_betas_zero_snr=True, use_dynamic_rescale=True, base_scale=0.3
+    )
+
+    def denoise_jax(x, tt):
+        tscaled = (tt.astype(jnp.float32) / 1000.0).reshape(-1, 1, 1, 1, 1)
+
+        def f(cv):
+            return 0.3 * jnp.tanh(x) + 0.2 * cv + 0.05 * tscaled * x
+
+        return f(jnp.asarray(cond_vec.transpose(0, 2, 3, 4, 1))), f(
+            jnp.asarray(uncond_vec.transpose(0, 2, 3, 4, 1))
+        )
+
+    samples_j = ddim_sample(
+        schedule, denoise_jax, jnp.asarray(x_T.transpose(0, 2, 3, 4, 1)),
+        num_steps=steps, guidance_scale=2.0, guidance_rescale=0.0,
+        parameterization="v", timestep_spacing="uniform", eta=1.0, rng=key,
+    )
+    samples_j = np.asarray(samples_j).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(samples_j, samples_t, rtol=2e-4, atol=2e-4)
