@@ -35,8 +35,12 @@ run() {
 
 cd /root/repo
 # generous timeout: if any traced line changed since the cache was warmed,
-# this run re-warms .jax_cache so the driver's end-of-round bench hits it
+# this run re-warms .jax_cache so the driver's end-of-round bench hits it.
+# bench.py's INTERNAL budget (MRT_BENCH_BUDGET, default 540 s) must also be
+# raised or it kills the cold DC compile (~13 min) itself at budget-60.
+export MRT_BENCH_BUDGET=2580
 run bench_full        2700 python bench.py
+unset MRT_BENCH_BUDGET
 run cog17             3600 python tools/bench_cogvideox.py
 run int8gemm           900 python tools/bench_int8_gemm.py
 run cog17_int8        3600 python tools/bench_cogvideox.py --quantize int8
