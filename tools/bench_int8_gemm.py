@@ -9,7 +9,11 @@ token counts (17f: 6,976 tokens; 49f: 17,776) and the DiT's d=3072 /
 ff=12288 projections.
 
 Timing follows the axon-tunnel rules (CLAUDE.md): distinct inputs per
-iteration, completion forced via scalar checksum.
+iteration, completion forced via scalar checksum. The per-launch tunnel
+overhead (~43 ms) would swamp single-GEMM calls (6976x3072x3072 bf16 is
+~0.7 ms of MXU time), so each measurement scans over a stack of distinct
+inputs INSIDE one launch, and the per-iteration time is the difference
+between a large and a small stack — constant launch overhead cancels.
 
 Usage: python tools/bench_int8_gemm.py [--small]
 """
@@ -70,26 +74,38 @@ def main():
         kern = kern.astype(jnp.bfloat16)
         kq, ks = jax.device_put(kq), jax.device_put(ks)
 
-        fb = jax.jit(bf16_dense)
-        fq = jax.jit(int8_dense)
         flops = 2.0 * m * kdim * n
+        n_small, n_large = args.iters, 4 * args.iters
 
         def timeit(fn, *consts):
-            xs = [
-                jax.random.normal(jax.random.key(i + 1), (m, kdim), jnp.bfloat16)
-                for i in range(args.iters)
-            ]
-            jax.block_until_ready(xs)
-            float(jnp.mean(fn(xs[0], *consts).astype(jnp.float32)))  # warm
-            t0 = time.time()
-            acc = 0.0
-            for x in xs:
-                acc += float(jnp.mean(fn(x, *consts).astype(jnp.float32)))
-            dt = (time.time() - t0) / args.iters
-            return dt, acc
+            # one launch scans the whole stack; checksum forces completion
+            @jax.jit
+            def scan_fn(xs, *cs):
+                def body(acc, x):
+                    y = fn(x, *cs)
+                    return acc + jnp.sum(y.astype(jnp.float32)), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+                return acc
 
-        t_b, _ = timeit(fb, kern)
-        t_q, _ = timeit(fq, kq, ks)
+            def stack(count, salt):
+                return jax.random.normal(
+                    jax.random.key(salt), (count, m, kdim), jnp.bfloat16)
+
+            def run(count, salt):
+                xs = stack(count, salt)
+                jax.block_until_ready(xs)
+                t0 = time.time()
+                float(scan_fn(xs, *consts))
+                return time.time() - t0
+
+            run(n_small, 1)  # warm both executables (distinct scan lengths)
+            run(n_large, 2)
+            t_s = run(n_small, 3)
+            t_l = run(n_large, 4)
+            return max(t_l - t_s, 1e-9) / (n_large - n_small)
+
+        t_b = timeit(bf16_dense, kern)
+        t_q = timeit(int8_dense, kq, ks)
         results[f"{m}x{kdim}x{n}"] = {
             "bf16_ms": round(t_b * 1e3, 3),
             "int8_ms": round(t_q * 1e3, 3),
