@@ -94,15 +94,22 @@ class CogVideoXImageToVideoPipeline:
         """Streaming frame-batched decode (the reference's default diffusers
         decode path). Caps per-launch activation memory AND device-program
         runtime — both load-bearing at 49f where a monolithic decode OOMs.
-        At most two chunk shapes compile; conv caches stay on device."""
+        At most two chunk shapes compile; conv caches stay on device.
+
+        Always traces under ``pallas_norms``: the full-res decoder stages
+        brush the 16 GB HBM ceiling (measured: 15.77 used / 15.75 at 17f
+        480x720 with the XLA GroupNorm's fp32 materializations — a direct
+        caller that skipped the pipeline-level context OOMed by 26 MB), and
+        the fused kernel removes those fp32 copies."""
         from motionrag_tpu.models.cogvideox.vae3d import decode_chunked
 
-        if latents.shape[1] <= frame_batch_size + 1:
-            return self._decode_whole(params["vae"], latents.astype(self.dtype))
-        return decode_chunked(
-            self.vae, params["vae"], latents.astype(self.dtype), frame_batch_size,
-            decode_fn=lambda variables, z, mutable: self._decode_chunk(variables, z),
-        )
+        with pallas_norms():
+            if latents.shape[1] <= frame_batch_size + 1:
+                return self._decode_whole(params["vae"], latents.astype(self.dtype))
+            return decode_chunked(
+                self.vae, params["vae"], latents.astype(self.dtype), frame_batch_size,
+                decode_fn=lambda variables, z, mutable: self._decode_chunk(variables, z),
+            )
 
     def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None,
                                   do_classifier_free_guidance=False, image=None):

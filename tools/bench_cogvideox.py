@@ -303,12 +303,23 @@ def run_decode(args):
     jax.block_until_ready(vae_params)
     lat = jnp.asarray(np.load(os.path.join(args.state_dir, "latents.npy")),
                       dtype)
-    # warmup (compile) with a perturbed input, then the timed run
-    float(jnp.mean(pipe._decode_latents(vae_params, lat).astype(jnp.float32)))
-    _tick("decode warmup done")
+    # warmup (compile) with a perturbed input, then the timed run; the
+    # full-res decoder stages brush the HBM ceiling at frame_batch_size=2,
+    # so fall back to 1 (half the chunk working set) if the compile OOMs
+    fbs = 2
+    for fbs in (2, 1):
+        try:
+            float(jnp.mean(pipe._decode_latents(
+                vae_params, lat, frame_batch_size=fbs).astype(jnp.float32)))
+            break
+        except Exception as e:  # noqa: BLE001
+            _tick(f"decode warmup fbs={fbs} failed: {str(e)[:200]}")
+            if fbs == 1:
+                raise
+    _tick(f"decode warmup done (frame_batch_size={fbs})")
     t0 = time.time()
     float(jnp.mean(pipe._decode_latents(
-        vae_params, lat * 1.001).astype(jnp.float32)))
+        vae_params, lat * 1.001, frame_batch_size=fbs).astype(jnp.float32)))
     decode_s = time.time() - t0
     with open(os.path.join(args.state_dir, "decode.json"), "w") as fh:
         json.dump({"decode_s": decode_s}, fh)
