@@ -77,8 +77,13 @@ def main():
     }
 
     t0 = time.time()
-    params = jax.device_put(make_params_from_shapes(lambda: module.init_params(
-        jax.random.key(0), batch)))
+    # bf16 params: fp32 (5.8 GB for the DC stack) plus the 31-step sampler's
+    # activations and executables exceed 16 GB HBM (both dc_int8 and
+    # dc_batched OOMed eagerly with native-dtype params; bench.py's DC phase
+    # always materialized bf16)
+    params = jax.device_put(make_params_from_shapes(
+        lambda: module.init_params(jax.random.key(0), batch),
+        dtype=jnp.bfloat16))
     jax.block_until_ready(params)
     print(f"params materialized in {time.time()-t0:.1f}s", file=sys.stderr)
 

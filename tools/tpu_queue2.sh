@@ -43,3 +43,8 @@ run cog49_int8_batched 3600 python tools/bench_cogvideox.py --frames 49 --quanti
 run cog17_cached       3600 python tools/bench_cogvideox.py --cache-threshold 0.1
 run dc_cached          3600 python tools/bench_dynamicrafter.py --cache-threshold 0.1
 echo "$(date -u +%T) [q2] queue 2 done" >> $LOG/queue.log
+run dc_blocks 3600 python tools/bench_dc_blocks.py
+echo "$(date -u +%T) [q2] queue 2b done" >> $LOG/queue.log
+run dc_int8   3600 python tools/bench_dynamicrafter.py --quantize int8
+run dc_batched 3600 python tools/bench_dynamicrafter.py --cfg-mode batched
+echo "$(date -u +%T) [q2] queue 2c done" >> $LOG/queue.log
