@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Training-step benchmark on one TPU chip, through the REAL Trainer path
+(Trainer.setup + the jitted donated train_step — identical to `main.py fit`
+minus the data loader).
+
+Workloads (the reference's two training stages, config-exact scales):
+
+- ``cama``: stage-2 Motion Context Transformer training
+  (configs/motion_transformer/condition_trans_dino_dc_open.yml): batch 8,
+  K=9 RAG refs, 16f 224x224, frozen DINOv2-L + VideoMAE encoders, trainable
+  transformer + condition_proj.
+- ``dc_adapter``: stage-1 DynamiCrafter Motion-Adapter training
+  (configs/dynamicrafter/action_injection.yml): batch 2, 16f 320x512,
+  K=1 gt ref, trainable action cross-attn branches + action_proj.
+
+Timing per the tunnel rules: distinct batches per step (the tunnel de-dupes
+identical executions), completion forced via the scalar loss fetch that the
+fit loop itself does at log steps.
+
+Usage: python tools/bench_train.py [--workload cama|dc_adapter] [--small]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", choices=["cama", "dc_adapter"], default="cama")
+    ap.add_argument("--small", action="store_true", help="tiny CPU smoke run")
+    ap.add_argument("--steps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.small:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from motionrag_tpu.parallel.mesh import MeshConfig
+    from motionrag_tpu.training.trainer import Trainer
+
+    dtype = jnp.bfloat16
+
+    if args.workload == "cama":
+        from motionrag_tpu.models.cama import (
+            ActionTransformer, SinusoidPositionalEmbeddings)
+        from motionrag_tpu.models.cama_module import ActionTransformerModule
+        from motionrag_tpu.models.encoders.condition import (
+            DINOImageEmbedder, VideoMAEEmbedder)
+        from motionrag_tpu.models.layers import TransformerEncoder
+        from motionrag_tpu.models.resampler import Resampler
+
+        if args.small:
+            b, k, f, size, dim = 1, 2, 4, 32, 64
+            vm = VideoMAEEmbedder(num_frames=4, image_size=32, dim=32,
+                                  depth=1, heads=2, dtype=dtype)
+            dino = DINOImageEmbedder(image_size=28, dim=32, depth=1, heads=2,
+                                     dtype=dtype)
+            rs = lambda ed: Resampler(dim=dim, depth=1, dim_head=16, heads=4,
+                                      num_queries=4, embedding_dim=ed,
+                                      output_dim=dim)
+            ct_trans = TransformerEncoder(num_layers=1, d_model=dim, nhead=4,
+                                          dim_feedforward=128)
+        else:
+            # condition_trans_dino_dc_open.yml scales
+            b, k, f, size, dim = 8, 9, 16, 224, 1024
+            vm = VideoMAEEmbedder(dtype=dtype)
+            dino = DINOImageEmbedder(dtype=dtype)
+            rs = lambda ed: Resampler(dim=1024, depth=4, dim_head=64,
+                                      heads=12, num_queries=25,
+                                      embedding_dim=ed, output_dim=1024)
+            ct_trans = TransformerEncoder(num_layers=4, d_model=1024,
+                                          nhead=16, dim_feedforward=4096)
+        module = ActionTransformerModule(ActionTransformer(
+            vision_model=vm, vision_proj=rs(vm.dim),
+            condition_model=dino, condition_proj=rs(dino.dim),
+            transformer=ct_trans,
+            vision_pe=SinusoidPositionalEmbeddings(dim, 2560),
+            condition_pe=SinusoidPositionalEmbeddings(dim, 2560),
+        ))
+
+        def make_batch(seed):
+            key = jax.random.key(seed)
+            return {
+                "ref_videos": jax.random.uniform(
+                    key, (b, k, f, 3, size, size), jnp.float32, -1, 1),
+                "video": jax.random.uniform(
+                    jax.random.fold_in(key, 1), (b, f, 3, size, size),
+                    jnp.float32, -1, 1),
+            }
+
+        metric = (f"CAMA stage-2 train step (b={b} K={k} {f}f {size}px, "
+                  "frozen DINOv2-L+VideoMAE, Trainer path)")
+    else:
+        from motionrag_tpu.models.dynamicrafter.module import (
+            DynamiCrafterActionModule)
+        from motionrag_tpu.models.encoders.condition import VideoMAEEmbedder
+        from motionrag_tpu.models.resampler import Resampler
+
+        if args.small:
+            from motionrag_tpu.models.dynamicrafter.unet3d import UNet3D
+            from motionrag_tpu.models.dynamicrafter.vae import AutoencoderKL2D
+            from motionrag_tpu.models.encoders.clip_text import CLIPTextEncoder
+            from motionrag_tpu.models.encoders.condition import CLIPImageEmbedder
+
+            b, k, f, h, w, ref = 1, 1, 4, 64, 64, 32
+            module = DynamiCrafterActionModule(
+                unet=UNet3D(model_channels=32, channel_mult=(1, 2),
+                            num_head_channels=16, context_dim=64,
+                            action_cross_attention=True, dtype=dtype),
+                vae=AutoencoderKL2D(block_out_channels=(32, 32, 32, 32),
+                                    dtype=dtype),
+                text_encoder=CLIPTextEncoder(dim=64, depth=2, heads=2,
+                                             dtype=dtype),
+                image_encoder=CLIPImageEmbedder(image_size=64, patch_size=32,
+                                                dim=64, depth=1, heads=2,
+                                                pooled=False, dtype=dtype),
+                image_proj=Resampler(dim=64, depth=1, dim_head=16, heads=4,
+                                     num_queries=4, embedding_dim=64,
+                                     output_dim=64, video_length=4,
+                                     dtype=dtype),
+                action_embedder=VideoMAEEmbedder(
+                    num_frames=4, image_size=32, dim=32, depth=1, heads=2,
+                    dtype=dtype),
+                action_proj=Resampler(dim=64, depth=1, dim_head=16, heads=4,
+                                      num_queries=4, embedding_dim=32,
+                                      output_dim=64, dtype=dtype),
+                full_trainable_modules=(
+                    "action_proj", "unet.*.to_q_a", "unet.*.to_k_a",
+                    "unet.*.to_v_a"),
+                dtype=dtype,
+            )
+        else:
+            # action_injection.yml scales: 16f 320x512, batch 2, gt ref
+            b, k, f, h, w, ref = 2, 1, 16, 320, 512, 224
+            module = DynamiCrafterActionModule(
+                action_embedder=VideoMAEEmbedder(dtype=dtype),
+                action_proj=Resampler(dim=1024, depth=4, dim_head=64,
+                                      heads=12, num_queries=25,
+                                      embedding_dim=768, output_dim=1024,
+                                      dtype=dtype),
+                full_trainable_modules=(
+                    "action_proj", "unet.*.to_q_a", "unet.*.to_k_a",
+                    "unet.*.to_v_a", "unet.*.alpha_action"),
+                dtype=dtype,
+            )
+
+        def make_batch(seed):
+            key = jax.random.key(seed)
+            return {
+                "video": jax.random.uniform(
+                    key, (b, f, 3, h, w), jnp.float32, -1, 1),
+                "prompt_ids": jnp.zeros((b, 77), jnp.int32),
+                "ref_videos": jax.random.uniform(
+                    jax.random.fold_in(key, 1), (b, k, f, 3, ref, ref),
+                    jnp.float32, -1, 1),
+            }
+
+        metric = (f"DynamiCrafter Motion-Adapter train step (b={b} {f}f "
+                  f"{h}x{w}, Trainer path)")
+
+    trainer = Trainer(
+        max_steps=args.steps,
+        mesh_config=MeshConfig(dp=1),
+        optimizer_config={"learning_rate": 1e-4},
+        default_root_dir="/tmp/bench_train_runs",
+        checkpoint_every_n_steps=0,
+        val_check_interval=0,
+        log_every_n_steps=10_000,
+    )
+    batch = make_batch(0)
+    t0 = time.time()
+    state = trainer.setup(module, batch)
+    init_s = time.time() - t0
+    print(f"setup (init + optimizer) in {init_s:.1f}s", file=sys.stderr,
+          flush=True)
+
+    step_fn = trainer._make_train_step(module)
+
+    def run(seed, state):
+        state, metrics = step_fn(state, trainer._shard_batch(make_batch(seed)))
+        # force completion the way the fit loop's log step does
+        loss = float(jax.device_get(metrics["train/main_loss"]))
+        return state, loss
+
+    t0 = time.time()
+    state, loss = run(1, state)
+    compile_s = time.time() - t0
+    print(f"first step (incl compile): {compile_s:.1f}s loss={loss:.4f}",
+          file=sys.stderr, flush=True)
+
+    times = []
+    for i in range(2, 2 + args.steps):
+        t0 = time.time()
+        state, loss = run(i, state)
+        times.append(time.time() - t0)
+        print(f"step {i}: {times[-1]:.2f}s loss={loss:.4f}", file=sys.stderr,
+              flush=True)
+
+    best = min(times)
+    print(json.dumps({
+        "metric": metric,
+        "value": round(best, 3),
+        "unit": "s/step",
+        "vs_baseline": None,
+        "detail": {"steps_per_sec": round(1.0 / best, 4),
+                   "first_step_incl_compile_s": round(compile_s, 1),
+                   "setup_s": round(init_s, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
