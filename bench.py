@@ -381,9 +381,12 @@ def main():
     ap.add_argument("--phase", choices=list(_PHASES), default=None,
                     help="internal: run one phase in-process and print its JSON")
     ap.add_argument("--budget", type=float,
-                    default=float(__import__("os").environ.get("MRT_BENCH_BUDGET", 540)),
+                    default=float(__import__("os").environ.get("MRT_BENCH_BUDGET", 1500)),
                     help="wall-clock budget (s); the headline JSON line is "
-                    "guaranteed to print inside it")
+                    "guaranteed to print inside it. 1500 s leaves room for a "
+                    "cold DC sampler compile (~425 s measured) — BENCH_r01's "
+                    "rc=124 was a dead tunnel relay (now probed + failed "
+                    "fast), not budget exhaustion")
     args = ap.parse_args()
     t_start = time.time()
 
