@@ -36,6 +36,13 @@ import jax.numpy as jnp
 
 from motionrag_tpu.training.optim import path_tokens, pattern_matches
 
+
+def np_prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
 __all__ = [
     "quantize_dense_tree",
     "quantized_calls",
@@ -211,20 +218,46 @@ def dense_quant_bytes(tree) -> tuple[int, int]:
 
 
 def _int8_dense(mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
+    import os
+
     kernel = mod.get_variable("params", "kernel")          # int8 [in, out]
     k_scale = mod.get_variable("params", "kernel_scale")   # f32 [out]
     xf = x.astype(jnp.float32)
     a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), _EPS) / 127.0
     xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    out_dtype = mod.dtype or x.dtype
+    bias = mod.get_variable("params", "bias") if mod.use_bias else None
+
+    # fused Pallas path: keeps the s32 product in VMEM (the XLA lowering
+    # round-trips it through HBM — epilogue-bound at DiT FF shapes, see
+    # ops/int8_matmul.py). Opt-in via MRT_INT8_PALLAS=1 until the real-chip
+    # microbench (tools/bench_int8_gemm.py) validates speed on this topology.
+    if (
+        kernel.ndim == 2
+        and jax.default_backend() == "tpu"
+        and os.environ.get("MRT_INT8_PALLAS", "0") == "1"
+    ):
+        from motionrag_tpu.ops.int8_matmul import (
+            int8_matmul_dequant, pallas_int8_supported)
+
+        lead = xq.shape[:-1]
+        m = int(np_prod(lead))
+        k, n = kernel.shape
+        if m >= 256 and pallas_int8_supported(m, k, n):
+            y = int8_matmul_dequant(
+                xq.reshape(m, k), kernel, a_scale.reshape(m, 1), k_scale,
+                bias, out_dtype=out_dtype)
+            return y.reshape(*lead, n)
+
     y = jax.lax.dot_general(
         xq, kernel,
         (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     y = y.astype(jnp.float32) * a_scale * k_scale
-    if mod.use_bias:
-        y = y + mod.get_variable("params", "bias").astype(jnp.float32)
-    return y.astype(mod.dtype or x.dtype)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def _interceptor(next_fun, args, kwargs, context):

@@ -329,3 +329,54 @@ def test_quantized_tree_cache_invalidates_on_new_tree():
     assert float(q2["params"]["kernel_scale"][0]) != float(
         q1["params"]["kernel_scale"][0]
     )
+
+
+def test_pallas_int8_matmul_matches_xla_path():
+    """The fused Pallas kernel (interpret mode on CPU) must reproduce the
+    XLA W8A8 math: same int8 operands, same fp32 rescale + bias epilogue.
+    Exact s32 accumulation means the only divergence is fp32-multiply
+    rounding order in the epilogue — tolerance per the jit-vs-unjit note in
+    CLAUDE.md."""
+    from motionrag_tpu.ops.int8_matmul import int8_matmul_dequant
+
+    rng = jax.random.PRNGKey(0)
+    m, k, n = 300, 512, 512  # m deliberately NOT a block multiple (pad path)
+    x = jax.random.normal(rng, (m, k), jnp.float32)
+    kern = jax.random.normal(jax.random.fold_in(rng, 1), (k, n), jnp.float32)
+    bias = jax.random.normal(jax.random.fold_in(rng, 2), (n,), jnp.float32)
+
+    kq, ks = quant.quantize_kernel(kern)
+    a = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / a), -127, 127).astype(jnp.int8)
+
+    ref = jax.lax.dot_general(
+        xq, kq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * a * ks + bias
+
+    got = int8_matmul_dequant(
+        xq, kq, a, ks, bias, out_dtype=jnp.float32,
+        block_m=128, block_n=256, block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-6,
+                               atol=2e-5)
+
+
+def test_pallas_int8_matmul_no_bias_bf16_out():
+    from motionrag_tpu.ops.int8_matmul import int8_matmul_dequant
+
+    rng = jax.random.PRNGKey(3)
+    m, k, n = 256, 256, 512
+    x = jax.random.normal(rng, (m, k), jnp.float32)
+    kern = jax.random.normal(jax.random.fold_in(rng, 1), (k, n), jnp.float32)
+    kq, ks = quant.quantize_kernel(kern)
+    a = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / a), -127, 127).astype(jnp.int8)
+
+    ref = (jax.lax.dot_general(
+        xq, kq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * a * ks).astype(jnp.bfloat16)
+    got = int8_matmul_dequant(xq, kq, a, ks, None, out_dtype=jnp.bfloat16,
+                              block_m=128, block_n=256, block_k=128,
+                              interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=1e-2)

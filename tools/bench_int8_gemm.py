@@ -66,6 +66,18 @@ def main():
         )
         return (y.astype(jnp.float32) * a * ks).astype(jnp.bfloat16)
 
+    def int8_pallas(x, kq, ks):
+        from motionrag_tpu.ops.int8_matmul import int8_matmul_dequant
+
+        xf = x.astype(jnp.float32)
+        a = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
+        blocks = ({"block_m": x.shape[0], "block_n": kq.shape[1],
+                   "block_k": kq.shape[0]} if args.small else {})
+        return int8_matmul_dequant(xq, kq, a, ks, None,
+                                   out_dtype=jnp.bfloat16,
+                                   interpret=args.small, **blocks)
+
     results = {}
     for (m, kdim, n) in shapes:
         key = jax.random.key(0)
@@ -106,12 +118,21 @@ def main():
 
         t_b = timeit(bf16_dense, kern)
         t_q = timeit(int8_dense, kq, ks)
+        try:
+            t_p = timeit(int8_pallas, kq, ks)
+        except Exception as e:  # noqa: BLE001
+            print(f"pallas int8 failed at {m}x{kdim}x{n}: {str(e)[:200]}",
+                  file=sys.stderr)
+            t_p = float("nan")
         results[f"{m}x{kdim}x{n}"] = {
             "bf16_ms": round(t_b * 1e3, 3),
             "int8_ms": round(t_q * 1e3, 3),
+            "int8_pallas_ms": round(t_p * 1e3, 3),
             "bf16_tflops": round(flops / t_b / 1e12, 1),
             "int8_tflops": round(flops / t_q / 1e12, 1),
+            "int8_pallas_tflops": round(flops / t_p / 1e12, 1),
             "speedup": round(t_b / t_q, 3),
+            "pallas_speedup": round(t_b / t_p, 3),
         }
         print(f"{m}x{kdim}x{n}: {results[f'{m}x{kdim}x{n}']}", file=sys.stderr)
 

@@ -48,3 +48,13 @@ echo "$(date -u +%T) [q2] queue 2b done" >> $LOG/queue.log
 run dc_int8   3600 python tools/bench_dynamicrafter.py --quantize int8
 run dc_batched 3600 python tools/bench_dynamicrafter.py --cfg-mode batched
 echo "$(date -u +%T) [q2] queue 2c done" >> $LOG/queue.log
+run flash_dc_l0 1800 python tools/sweep_flash_attention.py 16 5 9216 64
+run flash_dc_l1 1800 python tools/sweep_flash_attention.py 16 10 2304 64
+echo "$(date -u +%T) [q2] queue 2d done" >> $LOG/queue.log
+run train_cama 3600 python tools/bench_train.py --workload cama
+run train_dc_adapter 3600 python tools/bench_train.py --workload dc_adapter
+echo "$(date -u +%T) [q2] queue 2e done" >> $LOG/queue.log
+run int8gemm_pallas 1200 python tools/bench_int8_gemm.py
+echo "$(date -u +%T) [q2] queue 2f done" >> $LOG/queue.log
+MRT_INT8_PALLAS=1 run cog17_int8_pallas 3600 python tools/bench_cogvideox.py --quantize int8 --cfg-mode batched
+echo "$(date -u +%T) [q2] queue 2g done" >> $LOG/queue.log
