@@ -228,10 +228,12 @@ def _int8_dense(mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
     out_dtype = mod.dtype or x.dtype
     bias = mod.get_variable("params", "bias") if mod.use_bias else None
 
-    # fused Pallas path: keeps the s32 product in VMEM (the XLA lowering
-    # round-trips it through HBM — epilogue-bound at DiT FF shapes, see
-    # ops/int8_matmul.py). Opt-in via MRT_INT8_PALLAS=1 until the real-chip
-    # microbench (tools/bench_int8_gemm.py) validates speed on this topology.
+    # fused Pallas path (ops/int8_matmul.py). Measured SLOWER than the XLA
+    # s8xs8->s32 lowering at every DiT shape on the real v5e (2026-08-19,
+    # tools/bench_int8_gemm.py: 130-172 vs 236-330 TFLOP/s) — XLA already
+    # fuses the dequant epilogue and its auto-tiling wins. Kept opt-in
+    # (MRT_INT8_PALLAS=1) as a reference kernel only; the default serving
+    # path below is the fast one.
     if (
         kernel.ndim == 2
         and jax.default_backend() == "tpu"
