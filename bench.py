@@ -327,11 +327,17 @@ def _run_phase_subprocess(phase: str, small: bool, timeout: float) -> dict:
     strictly sequentially (never two TPU processes at once)."""
     import subprocess
 
+    import os
+
     cmd = [sys.executable, __file__, "--phase", phase]
     if small:
         cmd.append("--small")
+    # the parent holds the cross-process TPU lock for the whole run; the
+    # phase children must not try to take it again (flock would deadlock)
+    env = dict(os.environ, MRT_TPU_LOCK_HELD="1")
     try:
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                              env=env)
     except subprocess.TimeoutExpired as e:
         sys.stderr.write((e.stderr or b"").decode() if isinstance(e.stderr, bytes)
                          else (e.stderr or ""))
@@ -403,9 +409,19 @@ def main():
         pass
 
     if args.phase:
+        import contextlib
+        import os
+
+        lock = contextlib.nullcontext
+        if not args.small and not os.environ.get("MRT_TPU_LOCK_HELD"):
+            sys.path.insert(0, os.path.dirname(__file__))
+            from tools.tpu_lock import tpu_lock
+
+            lock = tpu_lock
         fn, fallback = _PHASES[args.phase]
         try:
-            print(json.dumps(fn(args.small)))
+            with lock():
+                print(json.dumps(fn(args.small)))
         except Exception as e:  # noqa: BLE001
             print(f"{args.phase} bench failed: {e}", file=sys.stderr)
             print(json.dumps(fallback))
@@ -432,14 +448,32 @@ def main():
             time.sleep(5)
 
     detail = {}
-    # Headline phase first — everything else is optional detail. The DC
-    # phase gets the whole budget minus a 60 s reserve for ragcama.
-    detail.update(_run_phase_subprocess("dc", args.small, timeout=max(60, remaining() - 60)))
-    # RAG+CAMA overhead: only re-measure if the deadline allows; otherwise
-    # fold in the conservative constant (never understate).
-    if remaining() > 90:
-        detail.update(_run_phase_subprocess("ragcama", args.small,
-                                            timeout=max(30, remaining() - 15)))
+    # Serialize against any other TPU process for the whole run: a queue job
+    # overlapping the driver's bench run caused HBM co-tenancy and poisoned
+    # the round-2 measurement (ragcama timeout + 1009 s DC compile).
+    import contextlib
+
+    lock = contextlib.nullcontext
+    if not args.small and not __import__("os").environ.get("MRT_TPU_LOCK_HELD"):
+        sys.path.insert(0, __import__("os").path.dirname(__file__))
+        from tools.tpu_lock import tpu_lock
+
+        lock = tpu_lock  # factory: context managers are single-use
+    with lock():
+        # Small ragcama phase FIRST (seconds warm, bounded cold) so a long DC
+        # compile can never starve it into the fallback again (BENCH_r02);
+        # always leave the DC headline phase >= 900 s.
+        if remaining() > 960:
+            detail.update(_run_phase_subprocess(
+                "ragcama", args.small, timeout=min(420, remaining() - 900)))
+        # Headline phase gets everything that is left.
+        detail.update(_run_phase_subprocess("dc", args.small,
+                                            timeout=max(60, remaining() - 10)))
+        if not any(np.isfinite(detail.get(k, float("nan"))) for k in ("rag_s", "cama_s")) \
+                and remaining() > 90:
+            # retry the overhead phase only if it failed and time remains
+            detail.update(_run_phase_subprocess("ragcama", args.small,
+                                                timeout=max(30, remaining() - 15)))
     overhead = np.nan_to_num(detail.get("rag_s", float("nan")), nan=0.0) + np.nan_to_num(
         detail.get("cama_s", float("nan")), nan=0.0
     )
@@ -464,7 +498,8 @@ def main():
     print(json.dumps({"detail": {k: round(float(v), 3) for k, v in detail.items()}}), file=sys.stderr)
 
     if args.svd and remaining() > 120:
-        svd = _run_phase_subprocess("svd", args.small, timeout=remaining() - 10)
+        with lock():
+            svd = _run_phase_subprocess("svd", args.small, timeout=remaining() - 10)
         print(json.dumps({"svd_detail": {k: round(float(v), 3) for k, v in svd.items()}}),
               file=sys.stderr)
 

@@ -30,6 +30,8 @@ __all__ = ["flash_attention"]
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+LOG2E = 1.4426950408889634  # log2(e)
+LN2 = 0.6931471805599453  # ln(2)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -39,49 +41,54 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
+#
+# VPU-side optimizations (the kernel is VPU-bound at d=64, where the MXU cap
+# is ~50% of peak because both matmuls pad their 64-wide dim to 128 lanes):
+#   * exp2 domain: the softmax scale is folded into q together with log2(e),
+#     so the online softmax runs on native exp2 (one fewer multiply pass per
+#     [block_q, block_k] element). exp2(s*log2e - m2) == exp(s - m) exactly.
+#   * free row-sum: when d < 128, V is augmented with a ones-column at index
+#     d (the PV matmul pads its output to 128 lanes anyway), so l = sum(p)
+#     falls out of the matmul's otherwise-wasted lanes and the explicit VPU
+#     reduction disappears.
+#   * edge-only masking: boundary masking runs only on the last KV tile
+#     (and causal-diagonal tiles), not on every tile — the CogVideoX joint
+#     text+video lengths (6976/17776) are not lane-aligned, so this removes
+#     ~3 full-tile VPU passes per inner tile from the hot path.
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, scale, block_q, block_k, q_len, kv_len, n_kv, causal, with_lse=True,
-    block_k_inner=None,
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *l_scr_opt,
+    scale, block_q, block_k, q_len, kv_len, n_kv, causal, with_lse=True,
+    block_k_inner=None, d=None, aug=False,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(1)
+    l_scr = l_scr_opt[0] if l_scr_opt else None
 
     @pl.when(kv_idx == 0)
     def _init():
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
-        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
-
-    # causal: skip KV tiles strictly above the diagonal
-    run = True
-    if causal:
-        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+        if not aug:
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
 
     inner = block_k_inner or block_k
     n_inner = block_k // inner
+    aligned = kv_len % block_k == 0
 
-    @pl.when(run)
-    def _body():
-        # fold the softmax scale into q once per q-tile ([block_q, d] — tiny)
-        # instead of a full [block_q, block_k] VPU pass per kv step
-        q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
-        # unrolled inner loop over kv sub-tiles: Mosaic interleaves the VPU
-        # softmax of chunk i with the MXU matmuls of chunk i+1
+    def _tile_body(masked):
+        # fold softmax scale (and the exp->exp2 base change) into q once per
+        # q-tile ([block_q, d] — tiny) instead of full [block_q, block_k]
+        # VPU passes per kv step
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
         for sub in range(n_inner):
             k = k_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
 
-            # mask out-of-range KV columns (padding) and the causal upper
-            # triangle. When kv_len is an exact multiple of block_k (the
-            # common video-model case) and attention is dense, there is
-            # nothing to mask — skipping saves ~3 full-tile VPU passes per
-            # kv step (statically known at trace time).
-            if causal or (kv_len % block_k):
+            if masked:
                 base = kv_idx * block_k + sub * inner
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, inner), 1) + base
                 mask = col < kv_len
@@ -94,29 +101,45 @@ def _fwd_kernel(
                 s = jnp.where(mask, s, NEG_INF)
 
             m_prev = m_scr[...]  # [block_q, LANES] (replicated)
-            l_prev = l_scr[...]
             m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
             m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> [block_q, LANES]
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
             m_scr[...] = m_next
-            l_scr[...] = l_next
+            if not aug:
+                l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
 
-            v = v_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d]
+            v = v_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d or 128]
             pv = jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
+    if causal:
+        # three-way split: skip above the diagonal / unmasked full tiles
+        # strictly below it / masked diagonal (and kv-edge) tiles
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+        full = (kv_idx + 1) * block_k - 1 <= q_idx * block_q
+        if not aligned:
+            full = jnp.logical_and(full, kv_idx < n_kv - 1)
+        pl.when(jnp.logical_and(run, full))(lambda: _tile_body(False))
+        pl.when(jnp.logical_and(run, jnp.logical_not(full)))(lambda: _tile_body(True))
+    elif aligned:
+        _tile_body(False)
+    else:
+        pl.when(kv_idx < n_kv - 1)(lambda: _tile_body(False))
+        pl.when(kv_idx == n_kv - 1)(lambda: _tile_body(True))
+
     @pl.when(kv_idx == n_kv - 1)
     def _store():
-        l = l_scr[...]
+        acc = acc_scr[...]
+        l = acc[:, d:d + 1] if aug else l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc[:, :d] * l_inv).astype(o_ref.dtype)
         if with_lse:
-            # logsumexp = m + log l  (for the backward recompute)
-            lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            # natural-log logsumexp for the backward recompute / ring merge
+            # (m_scr is in the log2 domain)
+            lse = m_scr[...] * LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l))
             lse_ref[0] = lse.astype(lse_ref.dtype)
 
 
@@ -127,6 +150,18 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=True):
     kv_pad = _ceil_to(kv_len, block_k)
     qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+
+    # V augmentation: when d is not a lane multiple the PV matmul pads its
+    # output to 128 lanes anyway, so a ones-column at index d rides along for
+    # free and carries the online-softmax row sum (no VPU l reduction).
+    # Padded KV rows get p == 0 (masked / out of range), so their zero ones-
+    # column entries never contaminate l.
+    aug = d % LANES != 0
+    d_aug = _ceil_to(d + 1, LANES) if aug else d
+    if aug:
+        ones = jnp.ones((bh, kv_len, 1), v.dtype)
+        v = jnp.concatenate(
+            [v, ones, jnp.zeros((bh, kv_len, d_aug - d - 1), v.dtype)], axis=-1)
     vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
     n_q, n_kv = q_pad // block_q, kv_pad // block_k
 
@@ -146,18 +181,26 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=True):
         causal=causal,
         with_lse=with_lse,
         block_k_inner=inner,
+        d=d,
+        aug=aug,
     )
     # lse is only materialized when the backward pass needs it (saves
     # bh*q*128*4 bytes of HBM on the inference path)
     lse_rows = q_pad if with_lse else block_q
     lse_map = (lambda b, i, j: (b, i, 0)) if with_lse else (lambda b, i, j: (b, 0, 0))
+    scratch = [
+        pltpu.VMEM((block_q, LANES), jnp.float32),   # m (log2 domain)
+        pltpu.VMEM((block_q, d_aug), jnp.float32),   # acc (+l column when aug)
+    ]
+    if not aug:
+        scratch.append(pltpu.VMEM((block_q, LANES), jnp.float32))  # l
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d_aug), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -167,11 +210,7 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=True):
             jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, lse_rows, LANES), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -206,17 +245,18 @@ def _dq_kernel(
     def _body():
         q = q_ref[0]
         k = k_ref[0]
+        # log2 domain: p = exp2(s*scale*log2e - lse*log2e) == exp(s*scale - lse)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
         mask = col < kv_len
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
             mask = jnp.logical_and(mask, col <= row)
         s = jnp.where(mask, s, NEG_INF)
-        lse = lse_ref[0][:, :1]  # [block_q, 1]
-        p = jnp.exp(s - lse)
+        lse = lse_ref[0][:, :1] * LOG2E  # [block_q, 1], natural -> log2
+        p = jnp.exp2(s - lse)
 
         do = do_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
@@ -254,18 +294,18 @@ def _dkv_kernel(
     def _body():
         q = q_ref[0]
         k = k_ref[0]
-        # s^T : [block_k, block_q]
+        # s^T : [block_k, block_q], log2 domain (see _dq_kernel)
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0) + kv_idx * block_k
         col = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1) + q_idx * block_q
         mask = jnp.logical_and(row < kv_len, col < q_len)
         if causal:
             mask = jnp.logical_and(mask, row <= col)
         st = jnp.where(mask, st, NEG_INF)
-        lse = lse_ref[0][:, :1]  # [block_q, 1]
-        pt = jnp.exp(st - lse.T)  # [block_k, block_q]
+        lse = lse_ref[0][:, :1] * LOG2E  # [block_q, 1], natural -> log2
+        pt = jnp.exp2(st - lse.T)  # [block_k, block_q]
 
         do = do_ref[0].astype(jnp.float32)  # [block_q, d]
         dv_scr[...] += jax.lax.dot(

@@ -217,4 +217,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.tpu_lock import tpu_lock
+
+    with tpu_lock():
+        main()

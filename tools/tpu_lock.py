@@ -1,0 +1,54 @@
+"""Cross-process TPU serialization lock.
+
+The single v5e behind the axon tunnel cannot host two JAX client processes
+(HBM co-tenancy causes spurious RESOURCE_EXHAUSTED and hangs — CLAUDE.md;
+it poisoned the round-2 driver benchmark when a queue job overlapped it).
+Every TPU-touching tool takes an exclusive flock on /root/repo/.tpu_lock
+before creating the JAX client; the lock is released by the kernel on
+process exit, so a crashed holder cannot wedge the queue.
+
+Usage:
+    from tools.tpu_lock import tpu_lock
+    with tpu_lock():            # blocks until exclusive
+        ... jax work ...
+
+    with tpu_lock(timeout=60):  # raises TimeoutError instead of waiting
+        ...
+
+Shell scripts should use `flock /root/repo/.tpu_lock <cmd>` for the same
+effect (same lock file).
+"""
+from __future__ import annotations
+
+import contextlib
+import fcntl
+import os
+import sys
+import time
+
+LOCK_PATH = "/root/repo/.tpu_lock"
+
+
+@contextlib.contextmanager
+def tpu_lock(timeout: float | None = None, path: str = LOCK_PATH):
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        t0 = time.time()
+        announced = False
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except BlockingIOError:
+                if timeout is not None and time.time() - t0 > timeout:
+                    raise TimeoutError(f"TPU lock {path} held by another process")
+                if not announced:
+                    print(f"[tpu_lock] waiting for {path} "
+                          "(another TPU process is running)", file=sys.stderr, flush=True)
+                    announced = True
+                time.sleep(2)
+        os.truncate(fd, 0)
+        os.write(fd, f"pid={os.getpid()} argv={' '.join(sys.argv)}\n".encode())
+        yield
+    finally:
+        os.close(fd)  # releases the flock
