@@ -161,12 +161,10 @@ class DynamiCrafterModule:
         text_params = self.text_encoder.init(rngs[1], ids)
         clip_params = self.image_encoder.init(rngs[2], video[:, 0])
         img_tokens = self.image_encoder.apply(clip_params, video[:, 0])
-        # per-frame repeat before the resampler (lvdm image_proj V2 path)
-        img_tokens_f = jnp.repeat(img_tokens, f, axis=0).reshape(
-            b, f * img_tokens.shape[1], img_tokens.shape[-1]
-        )
-        proj_params = self.image_proj.init(rngs[3], img_tokens_f)
-        image_ctx = self.image_proj.apply(proj_params, img_tokens_f)
+        # tokens unrepeated; per-frame structure = the resampler's f*n_q
+        # latent queries (see image_context)
+        proj_params = self.image_proj.init(rngs[3], img_tokens)
+        image_ctx = self.image_proj.apply(proj_params, img_tokens)
 
         sample = jnp.zeros((b, f, h // 8, w // 8, self.unet.in_channels), self.dtype)
         context = {
@@ -193,13 +191,17 @@ class DynamiCrafterModule:
         return z.astype(jnp.float32) * self.scale_factor
 
     def image_context(self, params, cond_frames):
-        """[b, c, h, w] frames -> per-frame image context [b, f*l, 1024]."""
+        """[b, c, h, w] frames -> per-frame image context [b, f*n_q, 1024].
+
+        The image tokens go to the resampler UNREPEATED ([b, 257, 1280]);
+        the per-frame structure lives in the resampler's f*n_q latent
+        queries, exactly as the reference feeds image_proj_model
+        (``inference.py:189-190``, ``ddpm3d.py:1133-1134``). An earlier
+        version tiled the tokens f times, which shifts softmax mass in
+        PerceiverAttention's concat(x, latents) keys — caught by the
+        whole-pipeline parity test."""
         tokens = self.image_encoder.apply(params["image_encoder"], cond_frames)
-        f = self.image_proj.video_length or 1
-        tokens_f = jnp.repeat(tokens, f, axis=0).reshape(
-            tokens.shape[0], f * tokens.shape[1], tokens.shape[-1]
-        )
-        return self.image_proj.apply(params["image_proj"], tokens_f)
+        return self.image_proj.apply(params["image_proj"], tokens)
 
     def action_context(self, params, batch, rng, train: bool = True):
         return None
