@@ -146,6 +146,7 @@ class DynamiCrafterPipeline:
         timestep_spacing: str = "uniform",
         fs: float | None = None,
         decode_chunk_size: int = 4,
+        latents=None,
         **unused: Any,
     ) -> jnp.ndarray:
         """batch: {'video' [-1,1] [b,f,c,h,w], 'prompt_ids', 'ref_videos'?}
@@ -192,10 +193,17 @@ class DynamiCrafterPipeline:
             "action": None if uncond_action is None else uncond_action.astype(dtype),
         }
 
-        noise = jax.random.normal(
-            rng_lat, (b, num_frames, height // 8, width // 8, module.vae.latent_channels),
-            jnp.float32,
-        ).astype(dtype)
+        # explicit initial-latent injection (diffusers-style ``latents=``;
+        # also what the x_T kwarg of the reference DDIMSampler.sample allows
+        # — used by the whole-pipeline parity test to share x_T with the
+        # reference inference path)
+        if latents is not None:
+            noise = jnp.asarray(latents).astype(dtype)
+        else:
+            noise = jax.random.normal(
+                rng_lat, (b, num_frames, height // 8, width // 8, module.vae.latent_channels),
+                jnp.float32,
+            ).astype(dtype)
         fs_arr = jnp.full((b,), float(fs if fs is not None else module.frame_stride))
 
         with pallas_norms():

@@ -181,9 +181,14 @@ class SVDPipeline:
         motion_bucket_id: int = 127,
         noise_aug_strength: float = 0.02,
         decode_chunk_size: int = 8,
+        latents=None,
         **unused: Any,
     ) -> jnp.ndarray:
-        """image: [-1,1] [b, c, h, w] -> video [-1,1] [b, f, c, h, w]."""
+        """image: [-1,1] [b, c, h, w] -> video [-1,1] [b, f, c, h, w].
+
+        ``latents`` optionally injects the initial noise (diffusers-style;
+        used by the whole-pipeline parity test to share x_T with the torch
+        mirror chain)."""
         b = image.shape[0]
         if image.shape[-2:] != (height, width):
             image = resize_with_antialiasing(image, (height, width))
@@ -196,9 +201,12 @@ class SVDPipeline:
             params, ref_videos, metadata, rng_action, image=image
         )
 
-        noise = jax.random.normal(
-            rng_noise, (b, num_frames, height // 8, width // 8, 4), jnp.float32
-        ).astype(self.dtype)
+        if latents is not None:
+            noise = jnp.asarray(latents).astype(self.dtype)
+        else:
+            noise = jax.random.normal(
+                rng_noise, (b, num_frames, height // 8, width // 8, 4), jnp.float32
+            ).astype(self.dtype)
         guidance = jnp.linspace(min_guidance_scale, max_guidance_scale, num_frames)
 
         # inference traces use the fused Pallas GroupNorm
