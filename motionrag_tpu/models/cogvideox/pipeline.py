@@ -231,6 +231,7 @@ class CogVideoXImageToVideoPipeline:
         guidance_scale: float = 6.0,
         use_dynamic_cfg: bool = False,
         steps_per_launch: int | None = 20,
+        latents=None,
         **unused: Any,
     ) -> jnp.ndarray:
         """image: [-1,1] [b, c, h, w] -> video [-1,1] [b, f, c, h, w]."""
@@ -263,11 +264,16 @@ class CogVideoXImageToVideoPipeline:
             do_classifier_free_guidance=True, image=image,
         )
 
-        noise = jax.random.normal(
-            rng_lat,
-            (b, f_lat, height // 8, width // 8, self.vae.latent_channels),
-            jnp.float32,
-        ).astype(self.dtype)
+        # diffusers-style ``latents=`` initial-noise injection (also how the
+        # whole-pipeline parity test shares x_T with the torch mirror chain)
+        if latents is not None:
+            noise = jnp.asarray(latents).astype(self.dtype)
+        else:
+            noise = jax.random.normal(
+                rng_lat,
+                (b, f_lat, height // 8, width // 8, self.vae.latent_channels),
+                jnp.float32,
+            ).astype(self.dtype)
 
         with pallas_norms():
             if steps_per_launch and steps_per_launch < num_inference_steps:

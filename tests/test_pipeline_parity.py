@@ -392,3 +392,115 @@ def test_svd_whole_pipeline_parity():
         latents=jnp.asarray(x_T.transpose(0, 1, 3, 4, 2)),
     )
     np.testing.assert_allclose(np.asarray(out_j), frames_t, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_cogvideox_whole_pipeline_parity():
+    """Torch mirror of the reference CogVideoX I2V chain (diffusers
+    CogVideoXImageToVideoPipeline semantics as the reference drives it:
+    T5 prompt + encoded-"" negative, scaled mode image latent zero-padded
+    over time, shared image latents across CFG branches, v-pred DDIM loop,
+    3D-VAE decode — reference ``cogvideox/pipeline.py:13-140``) vs our
+    ``CogVideoXImageToVideoPipeline.__call__`` end to end."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import T5Config, T5EncoderModel
+
+    from test_activation_parity import _TCogVideoX, _TCogVAE, _t_cog_alphas
+
+    from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+    from motionrag_tpu.models.cogvideox.pipeline import CogVideoXImageToVideoPipeline
+    from motionrag_tpu.models.cogvideox.vae3d import CogVideoXVAE
+    from motionrag_tpu.models.encoders.t5 import T5Encoder
+    from motionrag_tpu.utils import porting
+    from motionrag_tpu.utils.porting_diffusion import (
+        port_cogvideox_transformer, port_cogvideox_vae)
+
+    f, h, w, steps, g = 5, 32, 48, 6, 3.0
+    f_lat, hl, wl = 2, h // 8, w // 8
+    in_ch, out_ch, dim, depth, heads, hd, text_d, t_d = 8, 4, 64, 2, 4, 16, 32, 32
+    L = 5  # prompt length
+
+    t_dit = _TCogVideoX(in_ch, out_ch, dim, depth, heads, hd, text_d, t_d)
+    _randomize(t_dit, seed=31)
+    t_vae = _TCogVAE(chans=(32, 32, 64, 64), latent=4)
+    _randomize(t_vae, seed=32, scale=0.06)
+    t5_cfg = T5Config(
+        vocab_size=100, d_model=text_d, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, feed_forward_proj="gated-gelu",
+        dropout_rate=0.0,
+    )
+    torch.manual_seed(33)
+    t_t5 = T5EncoderModel(t5_cfg).eval()
+
+    rng = np.random.default_rng(13)
+    image = rng.uniform(-1, 1, (1, 3, h, w)).astype(np.float32)
+    x_T = rng.standard_normal((1, f_lat, 4, hl, wl)).astype(np.float32)
+    ids = np.array([[7, 12, 3, 9, 1]], np.int64)         # prompt + </s>
+    neg_ids = np.array([[1, 0, 0, 0, 0]], np.int64)      # "" -> </s> + pads
+    scaling = 1.15258426
+
+    with torch.no_grad():
+        pos = t_t5(input_ids=torch.from_numpy(ids)).last_hidden_state
+        neg = t_t5(input_ids=torch.from_numpy(neg_ids)).last_hidden_state
+
+        # scaled mode image latent, zero-padded over latent time
+        vid = torch.from_numpy(image)[:, :, None]  # [b, c, 1, h, w]
+        mom = t_vae.encode_moments(vid)            # [b, 2C, 1, hl, wl]
+        img_lat = mom[:, :4] * scaling
+        img_lat = torch.cat(
+            [img_lat, torch.zeros(1, 4, f_lat - 1, hl, wl)], dim=2
+        ).permute(0, 2, 1, 3, 4)                   # [b, f_lat, C, hl, wl]
+
+        acp = _t_cog_alphas()
+        T = 1000
+        ts = torch.from_numpy(
+            (np.round(np.arange(T, 0, -T / steps)).astype(np.int64) - 1)[:steps])
+        x = torch.from_numpy(x_T.copy())
+        for i in range(steps):
+            t = ts[i]
+            model_in = torch.cat([x, img_lat], dim=2)  # channel concat
+            vu = t_dit(model_in, neg, t[None])
+            vc = t_dit(model_in, pos, t[None])
+            v = vu + g * (vc - vu)
+            a_t = acp[t]
+            prev_t = t - T // steps
+            a_prev = acp[prev_t] if prev_t >= 0 else torch.tensor(1.0)
+            x0 = a_t.sqrt() * x - (1 - a_t).sqrt() * v
+            eps = a_t.sqrt() * v + (1 - a_t).sqrt() * x
+            x = a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * eps
+
+        frames_t = t_vae.decode(x.permute(0, 2, 1, 3, 4) / scaling)
+        frames_t = frames_t.permute(0, 2, 1, 3, 4).numpy()  # [b, f, c, h, w]
+
+    # ---- ours ---------------------------------------------------------------
+    sd = {}
+    for k, v_ in t_dit.state_dict().items():
+        sd[k.replace("ff.net.1.", "ff.net.2.")] = v_
+    pipe = CogVideoXImageToVideoPipeline(
+        transformer=CogVideoXTransformer3D(
+            in_channels=in_ch, out_channels=out_ch, dim=dim, depth=depth,
+            heads=heads, head_dim=hd, text_embed_dim=text_d,
+            time_embed_dim=t_d, dtype=jnp.float32),
+        vae=CogVideoXVAE(latent_channels=4, block_out_channels=(32, 32, 64, 64),
+                         dtype=jnp.float32),
+        text_encoder=T5Encoder(vocab_size=100, dim=text_d, depth=2, heads=4,
+                               head_dim=8, ff_dim=64, num_buckets=8,
+                               max_distance=16, dtype=jnp.float32),
+        scheduler="ddim", dtype=jnp.float32,
+    )
+    params = {
+        "transformer": port_cogvideox_transformer(sd, depth=depth, strict=True),
+        "vae": port_cogvideox_vae(_sd_numpy(t_vae), strict=True),
+        "text_encoder": porting.port_t5_encoder(t_t5.state_dict(), depth=2),
+    }
+
+    out_j = pipe(
+        params, jnp.asarray(image), jax.random.key(0),
+        prompt_ids=jnp.asarray(ids), negative_prompt_ids=jnp.asarray(neg_ids),
+        num_frames=f, height=h, width=w, num_inference_steps=steps,
+        guidance_scale=g, steps_per_launch=None,
+        latents=jnp.asarray(x_T.transpose(0, 1, 3, 4, 2)),
+    )
+    np.testing.assert_allclose(np.asarray(out_j), frames_t, rtol=2e-3, atol=2e-3)
