@@ -38,6 +38,16 @@ def cli_main(argv=None, run: bool = True):
         "by the TPU-tunnel plugin, so an explicit flag is the reliable path "
         "to a CPU run; must take effect before first backend use)",
     )
+    ap.add_argument(
+        "--coordinator", default=None,
+        help="multi-host: coordinator address host:port for "
+        "jax.distributed.initialize (or MRT_COORDINATOR env); on TPU pods "
+        "leave unset — topology is auto-discovered",
+    )
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total process count (or MRT_NUM_PROCESSES)")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's index (or MRT_PROCESS_ID)")
     args, overrides = ap.parse_known_args(argv)
 
     import os
@@ -51,6 +61,12 @@ def cli_main(argv=None, run: bool = True):
             # 'axon'; accept the natural 'tpu' spelling in that environment
             platform = "axon"
         jax.config.update("jax_platforms", platform)
+
+    # multi-host bootstrap (no-op single-process; see parallel/distributed.py)
+    # — must run after platform pinning and before the first device query
+    from motionrag_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
 
     from motionrag_tpu.config import apply_overrides, load_yaml
 

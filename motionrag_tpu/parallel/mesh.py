@@ -67,15 +67,55 @@ class MeshConfig:
 def build_mesh(
     config: MeshConfig | None = None, devices: Sequence[jax.Device] | None = None
 ) -> Mesh:
-    """Build a Mesh over the given (default: all) devices.
+    """Build a Mesh over the given (default: all global) devices.
 
-    Axis order is (dp, fsdp, tp, sp) so that tp/sp — the latency-sensitive
-    axes — land on the innermost (fastest, adjacent-chip) ICI dimension.
+    Axis order is (pp, dp, fsdp, tp, sp) so that tp/sp — the
+    latency-sensitive axes — land on the innermost (fastest, adjacent-chip)
+    ICI dimension.
+
+    Multi-host (``jax.distributed.initialize`` active, see
+    ``parallel.distributed``): the mesh is laid out host-aware via
+    ``mesh_utils.create_hybrid_device_mesh`` — the process count is factored
+    onto the OUTERMOST axes (pp first, then dp, then fsdp), so cross-host
+    DCN carries at most one gradient all-reduce (dp) or per-tick activation
+    hop (pp) per step while tp/sp collectives stay on intra-host ICI.
     """
+    global_build = devices is None
     devices = list(devices if devices is not None else jax.devices())
     config = config or MeshConfig()
     sizes = config.resolve(len(devices))
     total = int(np.prod([sizes[a] for a in AXIS_ORDER]))
+
+    n_proc = jax.process_count()
+    if global_build and n_proc > 1 and total == len(devices):
+        # factor the host count onto the outermost axes
+        dcn = {a: 1 for a in AXIS_ORDER}
+        remaining = n_proc
+        for a in ("pp", "dp", "fsdp", "sp", "tp"):
+            import math
+
+            g = math.gcd(sizes[a], remaining)
+            dcn[a] = g
+            remaining //= g
+            if remaining == 1:
+                break
+        if remaining != 1:
+            raise ValueError(
+                f"cannot factor {n_proc} hosts onto mesh axes {sizes}"
+            )
+        from jax.experimental import mesh_utils
+
+        ici = [sizes[a] // dcn[a] for a in AXIS_ORDER]
+        # TPU pods: DCN granule = slice (slice_index); CPU/GPU clusters
+        # have no slice topology — fall back to process granules
+        slices = {getattr(d, "slice_index", None) for d in devices}
+        by_process = None in slices or len(slices) != n_proc
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            ici, [dcn[a] for a in AXIS_ORDER], devices=devices,
+            allow_split_physical_axes=True, process_is_granule=by_process,
+        )
+        return Mesh(dev_array, AXIS_ORDER)
+
     dev_array = np.asarray(devices[:total]).reshape([sizes[a] for a in AXIS_ORDER])
     return Mesh(dev_array, AXIS_ORDER)
 

@@ -152,17 +152,39 @@ class Trainer:
     # -- setup -------------------------------------------------------------
 
     def _shard_batch(self, batch: dict) -> dict:
+        """Shard a host batch over the dp(xfsdp) mesh axes.
+
+        Multi-host (jax.process_count() > 1): each process's loader yields
+        its LOCAL slice of the global batch (global batch = concatenation
+        over processes, the Lightning-DDP contract) and the global array is
+        assembled zero-copy via make_array_from_process_local_data."""
         spec = P(("dp", "fsdp"))
 
         def put(x):
             if not isinstance(x, (np.ndarray, jnp.ndarray)):
                 return x
-            return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, spec))
+            sharding = NamedSharding(self.mesh, spec)
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x))
+            return jax.device_put(jnp.asarray(x), sharding)
 
         return {k: put(v) for k, v in batch.items()}
 
     def _replicate(self, tree):
-        return jax.device_put(tree, NamedSharding(self.mesh, P()))
+        sharding = NamedSharding(self.mesh, P())
+        if jax.process_count() > 1:
+            # every process holds the identical full value (same seed/init)
+            def rep(x):
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                    data = jax.make_array_from_process_local_data(
+                        sharding, np.asarray(jax.random.key_data(x)))
+                    return jax.random.wrap_key_data(
+                        data, impl=jax.random.key_impl(x))
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+            return jax.tree.map(rep, tree)
+        return jax.device_put(tree, sharding)
 
     def _param_shardings(self, params):
         """Sharding tree for parameters: replicated (DDP-equivalent),
