@@ -24,6 +24,7 @@ __all__ = [
     "port_t5_encoder",
     "port_torch_transformer_encoder",
     "port_resampler",
+    "port_gte",
 ]
 
 
@@ -509,3 +510,40 @@ def port_resampler(sd: dict, depth: int, prefix: str = "") -> dict:
             "fc2": {"kernel": _t(g(f"{f_}.3.weight"))},
         }
     return {"params": p}
+
+
+def port_gte(sd: dict, depth: int = 12) -> dict:
+    """Alibaba-NLP gte-*-en-v1.5 (HF ``NewModel`` custom code) state dict ->
+    GTEEncoder params (models/encoders/gte.py). Accepts both bare
+    ``embeddings./encoder.`` keys and the ``new.``-prefixed layout of the
+    sentence-transformers save; golden-tested vs a HF-keyed torch mirror
+    (tests/test_gte.py). Reference usage:
+    ``tools/build_rag_database.py:17-33``, ``src/data/datamodule.py:296-304``.
+    """
+    prefix = "new." if any(k.startswith("new.") for k in sd) else ""
+
+    def c(key):
+        return _np(sd, prefix + key)
+
+    def ln(key):
+        return {"scale": c(f"{key}.weight"), "bias": c(f"{key}.bias")}
+
+    params = {
+        "word_embeddings": c("embeddings.word_embeddings.weight"),
+        "token_type_embeddings": c("embeddings.token_type_embeddings.weight"),
+        "emb_ln": ln("embeddings.LayerNorm"),
+    }
+    for i in range(depth):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "qkv_proj": {"kernel": _t(c(f"{p}.attention.qkv_proj.weight")),
+                         "bias": c(f"{p}.attention.qkv_proj.bias")},
+            "o_proj": {"kernel": _t(c(f"{p}.attention.o_proj.weight")),
+                       "bias": c(f"{p}.attention.o_proj.bias")},
+            "attn_ln": ln(f"{p}.attn_ln"),
+            "up_gate_proj": {"kernel": _t(c(f"{p}.mlp.up_gate_proj.weight"))},
+            "down_proj": {"kernel": _t(c(f"{p}.mlp.down_proj.weight")),
+                          "bias": c(f"{p}.mlp.down_proj.bias")},
+            "mlp_ln": ln(f"{p}.mlp_ln"),
+        }
+    return {"params": params}

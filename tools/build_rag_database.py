@@ -5,7 +5,7 @@ Usage:
     python tools/build_rag_database.py \
         --annotation data/openvid_1m.parquet \
         --db_path data/rag_db --table_name motion_caption \
-        [--text_key motion_caption] [--embedder gte|hash]
+        [--text_key motion_caption] [--embedder gte|jax-gte|hash]
 
 TPU-native counterpart of the reference's ``tools/build_rag_database.py``:
 instead of a LanceDB IVF index we persist normalized embeddings + metadata
@@ -39,7 +39,8 @@ def main():
     ap.add_argument("--db_path", required=True)
     ap.add_argument("--table_name", default="motion_caption")
     ap.add_argument("--text_key", default="motion_caption")
-    ap.add_argument("--embedder", default="gte", choices=["gte", "hash"])
+    ap.add_argument("--embedder", default="gte",
+                help="gte (host torch) | jax-gte[:/weights.pt[:/tokenizer]] (on-device JAX GTE) | hash | hash-<dim>")
     ap.add_argument("--image_embedding_key", default=None)
     args = ap.parse_args()
 
