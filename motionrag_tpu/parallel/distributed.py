@@ -50,20 +50,30 @@ def initialize_distributed(
         process_id = int(os.environ["MRT_PROCESS_ID"])
 
     explicit = coordinator_address is not None
-    auto_cluster = any(
-        os.environ.get(k)
-        for k in ("TPU_WORKER_HOSTNAMES", "TPU_SKYLARK_HOSTS", "SLURM_JOB_ID",
-                  "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
-    )
+    # JAX's own cluster conventions (multi-process TPU pods set
+    # JAX_COORDINATOR_ADDRESS / SLURM exports a full topology); note
+    # single-host TPU environments can export TPU_WORKER_HOSTNAMES=localhost,
+    # which is NOT a cluster — so only explicit signals trigger here.
+    auto_cluster = bool(os.environ.get("JAX_COORDINATOR_ADDRESS")
+                        or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in ("", "1"))
     if not explicit and not auto_cluster:
         return False
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except Exception as e:  # noqa: BLE001 — mis-detected cluster: stay single
+        if explicit:
+            raise
+        import sys
+
+        print(f"jax.distributed auto-init failed ({e}); continuing "
+              "single-process", file=sys.stderr)
+        return False
     _INITIALIZED = True
     return jax.process_count() > 1
 

@@ -122,6 +122,15 @@ def main():
     ap.add_argument("--depth", type=int, default=None,
                     help="override block depth (default: family-specific or "
                     "inferred from the key layout)")
+    ap.add_argument("--channel-mult", type=int, nargs="+", default=None,
+                    help="dynamicrafter/lvdm-unet: UNet channel_mult "
+                    "(default 1 2 4 4 = DC-1024)")
+    ap.add_argument("--num-res-blocks", type=int, default=None,
+                    help="dynamicrafter/lvdm-unet: res blocks per level "
+                    "(default 2)")
+    ap.add_argument("--attention-levels", type=int, nargs="+", default=None,
+                    help="dynamicrafter/lvdm-unet: levels with attention "
+                    "(default 0 1 2)")
     ap.add_argument("--no-strict", action="store_true",
                     help="skip the unconsumed-key report")
     args = ap.parse_args()
@@ -138,13 +147,22 @@ def main():
         sd = _strip(sd, args.strip_prefix)
     strict = not args.no_strict
 
+    unet_kwargs = {}
+    if args.channel_mult is not None:
+        unet_kwargs["channel_mult"] = tuple(args.channel_mult)
+    if args.num_res_blocks is not None:
+        unet_kwargs["num_res_blocks"] = args.num_res_blocks
+    if args.attention_levels is not None:
+        unet_kwargs["attention_levels"] = tuple(args.attention_levels)
+
     fam = args.family
     if fam == "dynamicrafter":
-        tree = pd.port_dynamicrafter_checkpoint(sd, strict=strict)
+        tree = pd.port_dynamicrafter_checkpoint(
+            sd, strict=strict, unet_kwargs=unet_kwargs or None)
     elif fam == "lvdm-unet":
         if any(k.startswith("model.diffusion_model.") for k in sd):
             sd = _strip(sd, "model.diffusion_model.")
-        tree = pd.port_lvdm_unet3d(sd, strict=strict)
+        tree = pd.port_lvdm_unet3d(sd, strict=strict, **unet_kwargs)
     elif fam == "sd-vae":
         if any(k.startswith("first_stage_model.") for k in sd):
             sd = _strip(sd, "first_stage_model.")
