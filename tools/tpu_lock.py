@@ -31,6 +31,13 @@ LOCK_PATH = "/root/repo/.tpu_lock"
 
 @contextlib.contextmanager
 def tpu_lock(timeout: float | None = None, path: str = LOCK_PATH):
+    # Re-entrancy across process trees: several TPU tools re-exec themselves
+    # as phase subprocesses (bench.py --phase, bench_cogvideox.py
+    # --phase sample/decode). The holder exports MRT_TPU_LOCK_HELD so its
+    # children skip the flock instead of deadlocking against their parent.
+    if os.environ.get("MRT_TPU_LOCK_HELD"):
+        yield
+        return
     fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     try:
         t0 = time.time()
@@ -49,6 +56,8 @@ def tpu_lock(timeout: float | None = None, path: str = LOCK_PATH):
                 time.sleep(2)
         os.truncate(fd, 0)
         os.write(fd, f"pid={os.getpid()} argv={' '.join(sys.argv)}\n".encode())
+        os.environ["MRT_TPU_LOCK_HELD"] = "1"
         yield
     finally:
+        os.environ.pop("MRT_TPU_LOCK_HELD", None)
         os.close(fd)  # releases the flock

@@ -29,7 +29,10 @@ run() {
     return
   fi
   echo "$(date -u +%T) [q] START $name" >> "$LOG/queue.log"
-  MRT_WATCHDOG_S=900 flock "$LOCK" timeout "$@" > "$LOG/$name.out" 2> "$LOG/$name.err"
+  # MRT_TPU_LOCK_HELD: the queue's flock IS the serialization — the python
+  # tool inside must not re-take it (its phase subprocesses would deadlock)
+  MRT_WATCHDOG_S=900 MRT_TPU_LOCK_HELD=1 flock "$LOCK" timeout "$@" \
+    > "$LOG/$name.out" 2> "$LOG/$name.err"
   rc=$?
   echo "$(date -u +%T) [q] END $name rc=$rc" >> "$LOG/queue.log"
   # let tunnel-side frees land before the next phase allocates
