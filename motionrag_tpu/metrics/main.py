@@ -94,6 +94,10 @@ def calc_metrics(
                 else:
                     metric.update(g, t)
             results[name] = float(metric.compute())
+            # a Farneback-scored motion value is NOT the reference metric —
+            # stamp the report so downstream can never mistake it
+            if getattr(metric, "flow_kind", None) == "farneback":
+                results[f"{name}_flow"] = "farneback_fallback_not_reference_comparable"
         except Exception as e:  # noqa: BLE001
             print(f"metric {name} failed: {e}")
             results[name] = float("nan")

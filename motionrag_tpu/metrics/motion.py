@@ -44,6 +44,7 @@ class MotionDistance(Metric):
     def __init__(self, hist_bins: int = 256, flow_fn: Optional[Callable] = None):
         super().__init__()
         self.hist_bins = hist_bins
+        self.flow_kind = "custom"
         if flow_fn is None:
             # turnkey: use RAFT when ported weights are present, else
             # Farneback (identical histogram/KL math)
@@ -51,9 +52,23 @@ class MotionDistance(Metric):
             from motionrag_tpu.utils.porting_metrics import port_raft
 
             raft_vars = load_metric_weights("raft_large", port_raft)
-            flow_fn = (
-                raft_flow_fn(raft_vars["params"]) if raft_vars else farneback_flow
-            )
+            if raft_vars:
+                flow_fn = raft_flow_fn(raft_vars["params"])
+                self.flow_kind = "raft"
+            else:
+                flow_fn = farneback_flow
+                self.flow_kind = "farneback"
+                import sys
+
+                print(
+                    "MotionDistance: RAFT weights absent — scoring with the "
+                    "classical Farneback flow. These values are NOT "
+                    "comparable to the reference Motion-KL metric "
+                    "(torchvision raft_large, reference src/metrics/"
+                    "motion.py:34-69); port weights via "
+                    "tools/port_checkpoint.py and metrics/weights.py to "
+                    "score comparably.", file=sys.stderr, flush=True,
+                )
         self.flow_fn = flow_fn
         self.add_state("motion_kl", 0.0)
         self.add_state("num_samples", 0)

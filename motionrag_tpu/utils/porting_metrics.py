@@ -228,7 +228,10 @@ def port_raft(sd: dict, strict: bool = True) -> dict:
         ub[ours] = {"kernel": _conv(c(f"{me}.{theirs}.0.weight")),
                     "bias": c(f"{me}.{theirs}.0.bias")}
     gru: dict = {}
-    for suffix, theirs in (("horizontal", "convgru1"), ("vertical", "convgru2")):
+    # module leaf names are conv{z,r,q}_{h,v} (metrics/raft.py SepConvGRU);
+    # an earlier draft emitted _horizontal/_vertical, which the round-trip
+    # test (tests/test_raft_porting.py) caught as a load failure
+    for suffix, theirs in (("h", "convgru1"), ("v", "convgru2")):
         for g in ("z", "r", "q"):
             gru[f"conv{g}_{suffix}"] = {
                 "kernel": _conv(c(f"update_block.recurrent_block.{theirs}.conv{g}.weight")),

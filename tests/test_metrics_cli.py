@@ -30,7 +30,7 @@ def test_calc_metrics_over_directories(video_dirs):
     gt_dir, gen_dir = video_dirs
     results = calc_metrics(str(gt_dir), str(gen_dir), num_frames=8,
                            metrics=("motion",), batch_size=2)
-    assert set(results) == {"motion"}
+    assert set(results) == {"motion", "motion_flow"}  # fallback marker
     assert np.isfinite(results["motion"])
 
 
