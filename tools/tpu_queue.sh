@@ -46,5 +46,12 @@ run() {
 
 cd /root/repo || exit 1
 # ---- phases (edit per session; "key" = success-only JSON field) ----------
-run dc_int8 dc_s_per_video 3600 python tools/bench_dynamicrafter.py --quantize int8
+# ordered most-valuable-first in case the relay dies mid-queue
+run cog49_bf16_r3 sample_s 3600 python tools/bench_cogvideox.py --frames 49
+run cog49_int8_batched_r3 sample_s 3600 \
+  python tools/bench_cogvideox.py --frames 49 --quantize int8 --cfg-mode batched
+run dc_int8_r3 runs 3600 python tools/bench_dynamicrafter.py --quantize int8
+run dc_cache02_r3 runs 3600 python tools/bench_dynamicrafter.py --cache-threshold 0.2
+run svd_r3 compile_s 3600 python bench.py --phase svd
+run bench_final_r3 vs_baseline 2700 python bench.py
 echo "$(date -u +%T) [q] queue done" >> "$LOG/queue.log"
