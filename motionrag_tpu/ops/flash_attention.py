@@ -222,6 +222,146 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=True):
 
 
 # ---------------------------------------------------------------------------
+# transposed forward (inference fast path for d < 128)
+# ---------------------------------------------------------------------------
+#
+# At d=64 the canonical layout pays the head-dim padding tax in BOTH matmuls:
+# QK^T contracts over d (64 of 128 systolic rows live -> half rate) and PV
+# pads its output lanes 64->128 (half the products are thrown away), capping
+# the kernel at ~98 TFLOP/s on v5e (50% of bf16 peak). Computing the
+# transposed problem instead:
+#
+#     S^T = K @ Q^T          [block_k, block_q]   (contraction d: half rate,
+#                                                  unavoidable)
+#     O^T = V^T @ P^T        [d, block_q]         (contraction block_k: FULL
+#                                                  rate; d is the streamed row
+#                                                  dim where 64 costs nothing)
+#
+# lifts the MXU ceiling to ~131 TFLOP/s (QK half-rate + PV full-rate) and
+# shrinks every online-softmax carry from [block_q, 128] to [8, block_q]
+# (the stats are per-LANE now): the m/alpha/l bookkeeping drops from ~3
+# full-tile VPU passes to ~3 passes over an 8-row strip. V is pre-transposed
+# once in HBM outside the kernel (one cheap XLA pass over V), and O^T is
+# transposed back by XLA where it fuses into the caller's reshape.
+
+
+def _fwd_kernel_t(
+    q_ref, k_ref, vt_ref, ot_ref, m_scr, acc_scr, *l_scr_opt,
+    scale, block_q, block_k, kv_len, n_kv, d, d_rows, aug, block_k_inner=None,
+):
+    kv_idx = pl.program_id(2)
+    l_scr = l_scr_opt[0] if l_scr_opt else None
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+        if not aug:
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+
+    inner = block_k_inner or block_k
+    n_inner = block_k // inner
+
+    def _tile_body(masked):
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+        for sub in range(n_inner):
+            k = k_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d]
+            # S^T = K @ Q^T — scores for this kv tile, keys along sublanes
+            st = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [inner, block_q]
+            if masked:
+                row = jax.lax.broadcasted_iota(jnp.int32, (inner, block_q), 0)
+                st = jnp.where(
+                    row + kv_idx * block_k + sub * inner < kv_len, st, NEG_INF)
+
+            m_prev = m_scr[...]  # [8, block_q] (replicated rows)
+            m_curr = jnp.max(st, axis=0, keepdims=True)  # [1, block_q]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)  # [8, block_q]
+            pt = jnp.exp2(st - m_next[:1])  # [inner, block_q]
+            m_scr[...] = m_next
+            if not aug:
+                l_scr[...] = alpha * l_scr[...] + jnp.sum(pt, axis=0, keepdims=True)
+
+            vt = vt_ref[0, :, pl.ds(sub * inner, inner)]  # [d_rows, inner]
+            pv = jax.lax.dot(
+                vt, pt.astype(vt.dtype), preferred_element_type=jnp.float32
+            )  # [d_rows, block_q] — contraction over keys: full MXU rate
+            acc_scr[...] = acc_scr[...] * alpha[:1] + pv
+
+    if kv_len % block_k == 0:
+        _tile_body(False)
+    else:
+        pl.when(kv_idx < n_kv - 1)(lambda: _tile_body(False))
+        pl.when(kv_idx == n_kv - 1)(lambda: _tile_body(True))
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        acc = acc_scr[...]
+        l = acc[d:d + 1] if aug else l_scr[...][:1]  # [1, block_q]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        ot_ref[0] = (acc[:d] * l_inv).astype(ot_ref.dtype)
+
+
+def _fwd_t(q, k, v, scale, block_q, block_k, interpret):
+    """Transposed-layout forward: non-causal, no lse (inference path)."""
+    import os
+
+    bh, q_len, d = q.shape
+    kv_len = k.shape[1]
+    q_pad = _ceil_to(q_len, block_q)
+    kv_pad = _ceil_to(kv_len, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    # ones-ROW variant (default on): the row-sum l rides the PV matmul (row
+    # d of V^T is ones) instead of a VPU reduction pass — trades ~25% more
+    # PV rows (streamed, cheap) for one fewer [block_k, block_q] VPU pass
+    # per tile. Measured s=9216 bxh=80: 90.0 vs 83.0 TFLOP/s.
+    aug = bool(int(os.environ.get("MRT_FLASH_T_ONES", "1")))
+    d_rows = _ceil_to(d + 1, 16) if aug else d  # bf16 sublane granularity
+    if aug:
+        ones = jnp.ones((bh, kv_len, 1), v.dtype)
+        v = jnp.concatenate(
+            [v, ones, jnp.zeros((bh, kv_len, d_rows - d - 1), v.dtype)], axis=-1)
+    # one HBM pass; XLA's transpose is cheap next to the attention math
+    vt = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0))).transpose(0, 2, 1)
+    n_q, n_kv = q_pad // block_q, kv_pad // block_k
+
+    inner = int(os.environ.get("MRT_FLASH_BK_INNER", 0)) or None
+    if inner and block_k % inner:
+        inner = None
+    kernel = functools.partial(
+        _fwd_kernel_t, scale=scale, block_q=block_q, block_k=block_k,
+        kv_len=kv_len, n_kv=n_kv, d=d, d_rows=d_rows, aug=aug,
+        block_k_inner=inner,
+    )
+    scratch = [
+        pltpu.VMEM((8, block_q), jnp.float32),       # m (log2 domain)
+        pltpu.VMEM((d_rows, block_q), jnp.float32),  # acc (O^T, +l row if aug)
+    ]
+    if not aug:
+        scratch.append(pltpu.VMEM((8, block_q), jnp.float32))  # l
+    ot = pl.pallas_call(
+        kernel,
+        grid=(bh, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, d_rows, block_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((bh, d, q_pad), q.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vt)
+    return ot.transpose(0, 2, 1)[:, :q_len]
+
+
+# ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
@@ -504,7 +644,15 @@ def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse):
                           rule="b s d, b t d, b t d -> b s d, b s",
                           parallel=parallel)
 
+    import os
+
+    no_t = bool(int(os.environ.get("MRT_FLASH_NO_T", "0")))
+
     def fn(q, k, v):
+        # transposed layout wins whenever the head dim under-fills the MXU
+        # lanes (d % 128 != 0) — non-causal inference only (no lse output)
+        if not causal and q.shape[-1] % LANES != 0 and not no_t:
+            return _fwd_t(q, k, v, scale, block_q, block_k, interpret)
         return _fwd(q, k, v, scale, causal, block_q, block_k, interpret,
                     with_lse=False)[0]
     return _wrap_dim0(fn, n_results=1, rule="b s d, b t d, b t d -> b s d",
