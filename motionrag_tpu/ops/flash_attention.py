@@ -263,12 +263,16 @@ def _fwd_kernel_t(
     n_inner = block_k // inner
 
     def _tile_body(masked):
-        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+        # q arrives pre-transposed [d, block_q] and pre-scaled (scale and the
+        # exp->exp2 base change folded in HBM — same bf16 rounding as an
+        # in-kernel f32 fold, zero per-kv-step VPU cost), so S^T is a plain
+        # A@B with a loop-invariant stationary operand: no per-step VMEM
+        # transpose of the q tile.
+        qt = q_ref[0]  # [d, block_q]
         for sub in range(n_inner):
             k = k_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d]
-            # S^T = K @ Q^T — scores for this kv tile, keys along sublanes
-            st = jax.lax.dot_general(
-                k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            st = jax.lax.dot(
+                k, qt, preferred_element_type=jnp.float32
             )  # [inner, block_q]
             if masked:
                 row = jax.lax.broadcasted_iota(jnp.int32, (inner, block_q), 0)
@@ -312,7 +316,11 @@ def _fwd_t(q, k, v, scale, block_q, block_k, interpret):
     kv_len = k.shape[1]
     q_pad = _ceil_to(q_len, block_q)
     kv_pad = _ceil_to(kv_len, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    # pre-scale (softmax scale + log2e fold) and pre-transpose Q in HBM:
+    # one cheap XLA pass, and the kernel's QK becomes a plain A@B with no
+    # per-kv-step transpose/scale work
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    qt = jnp.pad(qs, ((0, 0), (0, q_pad - q_len), (0, 0))).transpose(0, 2, 1)
     kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
     # ones-ROW variant (default on): the row-sum l rides the PV matmul (row
     # d of V^T is ones) instead of a VPU reduction pass — trades ~25% more
@@ -346,7 +354,7 @@ def _fwd_t(q, k, v, scale, block_q, block_k, interpret):
         kernel,
         grid=(bh, n_q, n_kv),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, d_rows, block_k), lambda b, i, j: (b, 0, j)),
         ],
@@ -357,7 +365,7 @@ def _fwd_t(q, k, v, scale, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vt)
+    )(qt, kp, vt)
     return ot.transpose(0, 2, 1)[:, :q_len]
 
 
@@ -632,7 +640,8 @@ def _wrap_dim0(fn, n_results, rule, parallel=("b",)):
 
 
 @functools.lru_cache(maxsize=None)
-def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse):
+def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse,
+              _explicit=False):
     # the forward grid is also embarrassingly parallel over q rows — but
     # only when non-causal (the causal mask depends on absolute q position,
     # which a seq shard would compute relative to itself)
@@ -652,7 +661,18 @@ def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse):
         # transposed layout wins whenever the head dim under-fills the MXU
         # lanes (d % 128 != 0) — non-causal inference only (no lse output)
         if not causal and q.shape[-1] % LANES != 0 and not no_t:
-            return _fwd_t(q, k, v, scale, block_q, block_k, interpret)
+            # its optimum is the canonical kernel's transposed: LARGE block_q
+            # (the lane dim of every VPU op) and a 1024-deep kv tile.
+            # v5e (ones-row, per-length-min harness): 1536/1024 measures
+            # 95.1 TFLOP/s at s=9216 bxh=80, 84.2 at s=6976 bxh=20, 84.6 at
+            # s=17776 bxh=48 — vs 81/64/73 for the canonical 1024/1536.
+            bq = int(os.environ.get("MRT_FLASH_T_BQ", 0)) or (
+                block_q if _explicit else 1536)
+            bk = int(os.environ.get("MRT_FLASH_T_BK", 0)) or (
+                block_k if _explicit else 1024)
+            bq = min(bq, _ceil_to(q.shape[1], LANES))
+            bk = min(bk, _ceil_to(k.shape[1], LANES))
+            return _fwd_t(q, k, v, scale, bq, bk, interpret)
         return _fwd(q, k, v, scale, causal, block_q, block_k, interpret,
                     with_lse=False)[0]
     return _wrap_dim0(fn, n_results=1, rule="b s d, b t d, b t d -> b s d",
@@ -674,17 +694,18 @@ def _spmd_bwd(scale, causal, block_q, block_k, interpret):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, scale, causal, block_q, block_k, interpret):
-    return _spmd_fwd(scale, causal, block_q, block_k, interpret, False)(q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, scale, causal, block_q, block_k, interpret, explicit):
+    return _spmd_fwd(scale, causal, block_q, block_k, interpret, False,
+                     explicit)(q, k, v)
 
 
-def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, explicit):
     out, lse = _spmd_fwd(scale, causal, block_q, block_k, interpret, True)(q, k, v)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, interpret, res, do):
+def _flash_bwd(scale, causal, block_q, block_k, interpret, explicit, res, do):
     q, k, v, out, lse = res
     return _spmd_bwd(scale, causal, block_q, block_k, interpret)(q, k, v, out, lse, do)
 
@@ -718,6 +739,11 @@ def flash_attention(
     import os
 
     b, h, sq, d = q.shape
+    # explicit block sizes (caller args or MRT_FLASH_BQ/BK) also pin the
+    # transposed inference path; otherwise it picks its own tuned defaults
+    explicit = (block_q is not None or block_k is not None
+                or bool(int(os.environ.get("MRT_FLASH_BQ", 0)))
+                or bool(int(os.environ.get("MRT_FLASH_BK", 0))))
     if block_k is None:
         block_k = int(os.environ.get("MRT_FLASH_BK", 0))
         if not block_k:
@@ -746,5 +772,6 @@ def flash_attention(
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
-    out = _flash(qf, kf, vf, float(scale), bool(causal), int(block_q), int(block_k), bool(interpret))
+    out = _flash(qf, kf, vf, float(scale), bool(causal), int(block_q),
+                 int(block_k), bool(interpret), explicit)
     return out.reshape(b, h, sq, d)

@@ -48,24 +48,30 @@ def make_runner(fn, n):
     return run
 
 
-def measure(fn, q, k, v, n1=2, n2=12, reps=2):
+def measure(fn, q, k, v, n1=2, n2=12, reps=3):
     """Scan-length differencing cancels launch overhead and fetch RTT.
     Every timed execution uses a fresh q perturbation (the tunnel de-dupes
-    identical executions, including compile-vs-timed repeats)."""
+    identical executions, including compile-vs-timed repeats).
+
+    Differencing uses min(t2) - min(t1) — the min of each scan length
+    separately — NOT min over reps of (t2_r - t1_r): a relay hiccup landing
+    on a short run inflates that rep's difference, and a min over rep-pairs
+    keeps exactly the most-inflated rep (observed: same kernel config
+    reading 105 vs 91 TFLOP/s across harness runs). Per-length minima keep
+    the least-disturbed execution of each."""
     run1, run2 = make_runner(fn, n1), make_runner(fn, n2)
     perturb = lambda seed: q + jax.random.normal(jax.random.key(seed), q.shape, q.dtype) * 1e-3
     float(run1(perturb(0), k, v))  # compile + complete
     float(run2(perturb(1), k, v))
-    best = float("inf")
+    t1s, t2s = [], []
     for r in range(reps):
         t0 = time.time()
         float(run1(perturb(10 + 2 * r), k, v))
-        t1 = time.time() - t0
+        t1s.append(time.time() - t0)
         t0 = time.time()
         float(run2(perturb(11 + 2 * r), k, v))
-        t2 = time.time() - t0
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best
+        t2s.append(time.time() - t0)
+    return (min(t2s) - min(t1s)) / (n2 - n1)
 
 
 def main():

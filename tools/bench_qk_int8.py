@@ -62,50 +62,65 @@ def measure(fn, a, b, n1=8, n2=168, reps=3):
 
     float(r1(perturb(0), b))  # compile + complete
     float(r2(perturb(1), b))
-    best = float("inf")
+    # per-length minima (not min over rep-pairs): a hiccup on a short run
+    # would otherwise inflate the kept difference (see tools/bench_attn.py)
+    t1s, t2s = [], []
     for r in range(reps):
-        t0 = time.time(); float(r1(perturb(10 + 2 * r), b)); t1 = time.time() - t0
-        t0 = time.time(); float(r2(perturb(11 + 2 * r), b)); t2 = time.time() - t0
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best
+        t0 = time.time(); float(r1(perturb(10 + 2 * r), b)); t1s.append(time.time() - t0)
+        t0 = time.time(); float(r2(perturb(11 + 2 * r), b)); t2s.append(time.time() - t0)
+    return (min(t2s) - min(t1s)) / (n2 - n1)
 
 
-def _mm_kernel(a_ref, b_ref, o_ref):
-    o_ref[...] = jax.lax.dot(
+def _qk_probe_kernel(a_ref, b_ref, o_ref):
+    # S stays in VMEM (like the flash kernel's score tile); only a 128-lane
+    # slice reaches HBM. Writing the full [m, n] product out instead makes
+    # every mode HBM-bound at k=64 arithmetic intensity — and on the XLA
+    # side the compiler narrows a dot whose output is partially consumed,
+    # so a naive A@B micro measures neither engine honestly.
+    s = jax.lax.dot(
         a_ref[...], b_ref[...],
         preferred_element_type=jnp.int32 if a_ref.dtype == jnp.int8 else jnp.float32,
-    )
+    )  # [bm, n], VMEM only
+    # fold all columns into 128 lanes (one cheap VPU pass, identical across
+    # modes — the accumulate stays in the dot's native dtype) so every
+    # output column is consumed: no dot narrowing possible
+    folded = sum(s[:, j * 128:(j + 1) * 128] for j in range(s.shape[1] // 128))
+    o_ref[...] = folded.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def pallas_mm(a, b, bm=1024):
+def pallas_mm(a, b, bm=512):
     m, k = a.shape
     n = b.shape[1]
-    acc = jnp.int32 if a.dtype == jnp.int8 else jnp.float32
     return pl.pallas_call(
-        _mm_kernel,
+        _qk_probe_kernel,
         grid=(m // bm,),
         in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0)),
                   pl.BlockSpec((k, n), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((m, n), acc),
+        out_specs=pl.BlockSpec((bm, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(a, b)
 
 
 def main():
-    m, k, n = (int(x) for x in sys.argv[1:4]) if len(sys.argv) >= 4 else (16384, 64, 2048)
+    m, k, n = (int(x) for x in sys.argv[1:4]) if len(sys.argv) >= 4 else (16384, 64, 1024)
     flops = 2 * m * k * n
     a_bf = jax.random.normal(jax.random.key(0), (m, k), jnp.bfloat16)
     b_bf = jax.random.normal(jax.random.key(1), (k, n), jnp.bfloat16)
     a_i8 = (jax.random.normal(jax.random.key(2), (m, k)) * 10).astype(jnp.int8)
     b_i8 = (jax.random.normal(jax.random.key(3), (k, n)) * 10).astype(jnp.int8)
 
+    def fold(s):  # consume every column (see _qk_probe_kernel)
+        return sum(
+            s[:, j * 128:(j + 1) * 128] for j in range(s.shape[1] // 128)
+        ).astype(jnp.float32)
+
     results = {}
     for mode, fn, a, b in [
-        ("xla_bf16", lambda a, b: jax.lax.dot(a, b, preferred_element_type=jnp.float32), a_bf, b_bf),
-        ("xla_int8", lambda a, b: jax.lax.dot(a, b, preferred_element_type=jnp.int32), a_i8, b_i8),
+        ("xla_bf16", lambda a, b: fold(jax.lax.dot(a, b, preferred_element_type=jnp.float32)), a_bf, b_bf),
+        ("xla_int8", lambda a, b: fold(jax.lax.dot(a, b, preferred_element_type=jnp.int32)), a_i8, b_i8),
         ("pallas_bf16", pallas_mm, a_bf, b_bf),
         ("pallas_int8", pallas_mm, a_i8, b_i8),
     ]:
