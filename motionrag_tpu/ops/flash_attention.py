@@ -246,9 +246,16 @@ def _fwd(q, k, v, scale, causal, block_q, block_k, interpret, with_lse=True):
 
 
 def _fwd_kernel_t(
-    q_ref, k_ref, vt_ref, ot_ref, m_scr, acc_scr, *l_scr_opt,
+    q_ref, k_ref, vt_ref, *rest,
     scale, block_q, block_k, kv_len, n_kv, d, d_rows, aug, block_k_inner=None,
+    qk_int8=False,
 ):
+    # positional tail depends on the int8 mode: inputs grow by the two
+    # quant-scale operands (sq per q token, sk per kv block)
+    if qk_int8:
+        sq_ref, sk_ref, ot_ref, m_scr, acc_scr, *l_scr_opt = rest
+    else:
+        ot_ref, m_scr, acc_scr, *l_scr_opt = rest
     kv_idx = pl.program_id(2)
     l_scr = l_scr_opt[0] if l_scr_opt else None
 
@@ -269,11 +276,22 @@ def _fwd_kernel_t(
         # A@B with a loop-invariant stationary operand: no per-step VMEM
         # transpose of the q tile.
         qt = q_ref[0]  # [d, block_q]
+        if qk_int8:
+            # SageAttention-style dequant multiplier: per-q-token scale
+            # (softmax scale + log2e already folded in) x this kv block's
+            # scalar scale — one fused VPU pass over the score tile
+            deq = sq_ref[0] * sk_ref[0, 0]  # [1, block_q]
         for sub in range(n_inner):
             k = k_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d]
-            st = jax.lax.dot(
-                k, qt, preferred_element_type=jnp.float32
-            )  # [inner, block_q]
+            if qk_int8:
+                st32 = jax.lax.dot(
+                    k, qt, preferred_element_type=jnp.int32
+                )  # [inner, block_q] s32 — int8 MXU, full rate at d=64
+                st = st32.astype(jnp.float32) * deq
+            else:
+                st = jax.lax.dot(
+                    k, qt, preferred_element_type=jnp.float32
+                )  # [inner, block_q]
             if masked:
                 row = jax.lax.broadcasted_iota(jnp.int32, (inner, block_q), 0)
                 st = jnp.where(
@@ -308,20 +326,47 @@ def _fwd_kernel_t(
         ot_ref[0] = (acc[:d] * l_inv).astype(ot_ref.dtype)
 
 
-def _fwd_t(q, k, v, scale, block_q, block_k, interpret):
-    """Transposed-layout forward: non-causal, no lse (inference path)."""
+def _fwd_t(q, k, v, scale, block_q, block_k, interpret, qk_int8=False):
+    """Transposed-layout forward: non-causal, no lse (inference path).
+
+    qk_int8=True quantizes Q (per token) and K (per kv block, after
+    subtracting the per-batch K mean — softmax-invariant smoothing) to int8
+    so the d=64 QK matmul runs on the int8 MXU path instead of padding
+    64->128 bf16 lanes. PV stays bf16. This is the SageAttention recipe
+    (per-block INT8 QK + smooth-K), opt-in for serving.
+    """
     import os
 
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
     q_pad = _ceil_to(q_len, block_q)
     kv_pad = _ceil_to(kv_len, block_k)
-    # pre-scale (softmax scale + log2e fold) and pre-transpose Q in HBM:
-    # one cheap XLA pass, and the kernel's QK becomes a plain A@B with no
-    # per-kv-step transpose/scale work
-    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    qt = jnp.pad(qs, ((0, 0), (0, q_pad - q_len), (0, 0))).transpose(0, 2, 1)
-    kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    n_kv_blocks = kv_pad // block_k
+    if qk_int8:
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+        # smooth K: S[i,j] -= q_j . mean(K) is constant per q token, so the
+        # row softmax is unchanged while the quant range shrinks
+        kc = k32 - jnp.mean(k32, axis=1, keepdims=True)
+        sq = jnp.maximum(jnp.max(jnp.abs(q32), axis=-1, keepdims=True),
+                         1e-20) / 127.0  # [bh, q, 1]
+        q_i8 = jnp.clip(jnp.round(q32 / sq), -127, 127).astype(jnp.int8)
+        qt = jnp.pad(q_i8, ((0, 0), (0, q_pad - q_len), (0, 0))).transpose(0, 2, 1)
+        # per-q-token dequant scale with softmax scale + log2e folded in
+        sqt = jnp.pad((sq[..., 0] * (scale * LOG2E)),
+                      ((0, 0), (0, q_pad - q_len)))[:, None, :]  # [bh, 1, q_pad]
+        kb = jnp.pad(kc, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+        kb = kb.reshape(bh, n_kv_blocks, block_k, d)
+        skb = jnp.maximum(jnp.max(jnp.abs(kb), axis=(2, 3)), 1e-20) / 127.0
+        kp = jnp.clip(jnp.round(kb / skb[:, :, None, None]), -127, 127
+                      ).astype(jnp.int8).reshape(bh, kv_pad, d)
+    else:
+        # pre-scale (softmax scale + log2e fold) and pre-transpose Q in HBM:
+        # one cheap XLA pass, and the kernel's QK becomes a plain A@B with no
+        # per-kv-step transpose/scale work
+        qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+        qt = jnp.pad(qs, ((0, 0), (0, q_pad - q_len), (0, 0))).transpose(0, 2, 1)
+        kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
     # ones-ROW variant (default on): the row-sum l rides the PV matmul (row
     # d of V^T is ones) instead of a VPU reduction pass — trades ~25% more
     # PV rows (streamed, cheap) for one fewer [block_k, block_q] VPU pass
@@ -342,7 +387,7 @@ def _fwd_t(q, k, v, scale, block_q, block_k, interpret):
     kernel = functools.partial(
         _fwd_kernel_t, scale=scale, block_q=block_q, block_k=block_k,
         kv_len=kv_len, n_kv=n_kv, d=d, d_rows=d_rows, aug=aug,
-        block_k_inner=inner,
+        block_k_inner=inner, qk_int8=qk_int8,
     )
     scratch = [
         pltpu.VMEM((8, block_q), jnp.float32),       # m (log2 domain)
@@ -350,14 +395,21 @@ def _fwd_t(q, k, v, scale, block_q, block_k, interpret):
     ]
     if not aug:
         scratch.append(pltpu.VMEM((8, block_q), jnp.float32))  # l
+    in_specs = [
+        pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, d_rows, block_k), lambda b, i, j: (b, 0, j)),
+    ]
+    operands = [qt, kp, vt]
+    if qk_int8:
+        in_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)))
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, i, j: (b, j),
+                                     memory_space=pltpu.SMEM))
+        operands += [sqt, skb]
     ot = pl.pallas_call(
         kernel,
         grid=(bh, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, d_rows, block_k), lambda b, i, j: (b, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i)),
         out_shape=jax.ShapeDtypeStruct((bh, d, q_pad), q.dtype),
         scratch_shapes=scratch,
@@ -365,7 +417,7 @@ def _fwd_t(q, k, v, scale, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qt, kp, vt)
+    )(*operands)
     return ot.transpose(0, 2, 1)[:, :q_len]
 
 
@@ -655,9 +707,11 @@ def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse,
 
     import os
 
-    no_t = bool(int(os.environ.get("MRT_FLASH_NO_T", "0")))
-
     def fn(q, k, v):
+        # env knobs are read at trace time (not builder time) so in-process
+        # toggles aren't masked by this function's lru_cache
+        no_t = bool(int(os.environ.get("MRT_FLASH_NO_T", "0")))
+        qk_int8 = bool(int(os.environ.get("MRT_FLASH_QK_INT8", "0")))
         # transposed layout wins whenever the head dim under-fills the MXU
         # lanes (d % 128 != 0) — non-causal inference only (no lse output)
         if not causal and q.shape[-1] % LANES != 0 and not no_t:
@@ -672,7 +726,7 @@ def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse,
                 block_k if _explicit else 1024)
             bq = min(bq, _ceil_to(q.shape[1], LANES))
             bk = min(bk, _ceil_to(k.shape[1], LANES))
-            return _fwd_t(q, k, v, scale, bq, bk, interpret)
+            return _fwd_t(q, k, v, scale, bq, bk, interpret, qk_int8=qk_int8)
         return _fwd(q, k, v, scale, causal, block_q, block_k, interpret,
                     with_lse=False)[0]
     return _wrap_dim0(fn, n_results=1, rule="b s d, b t d, b t d -> b s d",

@@ -74,6 +74,25 @@ def test_flash_backward_matches_xla(rng, causal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("sq,skv", [(1537, 1537), (512, 300)])
+def test_flash_qk_int8_close_to_exact(rng, monkeypatch, sq, skv):
+    """MRT_FLASH_QK_INT8: SageAttention-style int8 QK on the transposed
+    inference path (per-token Q / per-block smoothed-K scales). Quantization
+    noise bound, not bit parity — serving opt-in only."""
+    monkeypatch.setenv("MRT_FLASH_QK_INT8", "1")
+    d = 64
+    q = rng.standard_normal((1, 2, sq, d), dtype=np.float32)
+    # nonzero K mean exercises the softmax-invariant smoothing
+    k = rng.standard_normal((1, 2, skv, d), dtype=np.float32) + 0.3
+    v = rng.standard_normal((1, 2, skv, d), dtype=np.float32)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True)
+    ref = _ref_attn(q, k, v, causal=False)
+    err = np.abs(np.asarray(out) - ref)
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.005, err.mean()
+
+
 def test_dot_product_attention_bshd(rng):
     b, s, h, d = 2, 64, 4, 16
     q = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))

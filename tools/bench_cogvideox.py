@@ -90,6 +90,9 @@ def build_parser():
                     help="int8 W8A8 DiT serving (ops/quant.py): 2x MXU rate "
                     "on v5e, 5.6 GB DiT instead of 11.1 — reported "
                     "separately, never as the exact-protocol headline")
+    ap.add_argument("--qk-int8", action="store_true",
+                    help="SageAttention-style int8 QK in the flash kernel "
+                    "(MRT_FLASH_QK_INT8) — serving mode, reported separately")
     ap.add_argument("--scan-blocks", action="store_true",
                     help="compile the 42-block stack as one nn.scan'd block "
                     "(~42x smaller DiT HLO: faster + more reliable remote "
@@ -110,6 +113,8 @@ def build_parser():
 def _setup_jax(args):
     import jax
 
+    if args.qk_int8:
+        os.environ["MRT_FLASH_QK_INT8"] = "1"
     if args.small:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -363,7 +368,7 @@ def orchestrate(args, argv):
         [decode_s] if decode_s is not None else [])
     total = sum(known)
     exact = (args.quantize is None and args.cache_threshold == 0
-             and decode_s is not None)
+             and not args.qk_int8 and decode_s is not None)
     # the published reference wall-clock (59.4 s/video, README.md:47) is the
     # 17f 480x720 eval protocol at its configured 25 DPM steps; claiming a
     # ratio at other frame counts would compare different workloads
@@ -374,6 +379,7 @@ def orchestrate(args, argv):
                   f"{args.scheduler} s/video (single v5e, phased T5/decode)"
                   + (f" [quantize={args.quantize}]" if args.quantize else "")
                   + (f" [cfg={args.cfg_mode}]" if args.cfg_mode != "sequential" else "")
+                  + (" [qk_int8]" if args.qk_int8 else "")
                   + (f" [adaptive cache thr={args.cache_threshold}]"
                      if args.cache_threshold > 0 else "")
                   + ("" if decode_s is not None else " [decode FAILED — total excludes it]"),

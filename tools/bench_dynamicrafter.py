@@ -33,7 +33,13 @@ def main():
                     "separately, never as the exact-protocol headline")
     ap.add_argument("--cache-threshold", type=float, default=0.0,
                     help="adaptive output caching; 0 = exact protocol")
+    ap.add_argument("--qk-int8", action="store_true",
+                    help="SageAttention-style int8 QK in the flash kernel "
+                    "(MRT_FLASH_QK_INT8) — serving mode, reported separately")
     args = ap.parse_args()
+    if args.qk_int8:
+        import os as _os
+        _os.environ["MRT_FLASH_QK_INT8"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -115,6 +121,8 @@ def main():
     mode = ""
     if args.quantize:
         mode += f" [{args.quantize} serving]"
+    if args.qk_int8:
+        mode += " [qk_int8]"
     if args.cache_threshold:
         mode += f" [cache_threshold={args.cache_threshold}]"
     print(json.dumps({

@@ -47,11 +47,12 @@ run() {
 cd /root/repo || exit 1
 # ---- phases (edit per session; "key" = success-only JSON field) ----------
 # ordered most-valuable-first in case the relay dies mid-queue
-run cog49_bf16_r3 sample_s 3600 python tools/bench_cogvideox.py --frames 49
-run cog49_int8_batched_r3 sample_s 3600 \
-  python tools/bench_cogvideox.py --frames 49 --quantize int8 --cfg-mode batched
-run dc_int8_r3 runs 3600 python tools/bench_dynamicrafter.py --quantize int8
-run dc_cache02_r3 runs 3600 python tools/bench_dynamicrafter.py --cache-threshold 0.2
-run svd_r3 compile_s 3600 python bench.py --phase svd
-run bench_final_r3 vs_baseline 2700 python bench.py
+# (flash-T tuned defaults landed f7119d8 — e2e numbers below remeasure with it)
+run qkint8_probe_r3 int8_speedup 1200 python tools/bench_qk_int8.py
+run cog17_bf16_r3b sample_s 3600 python tools/bench_cogvideox.py
+run bench_kernelwarm_r3 vs_baseline 2700 python bench.py
+run cog49_bf16_r3b sample_s 3600 python tools/bench_cogvideox.py --frames 49
+run svd_r3b compile_s 3600 python bench.py --phase svd
+run cog17_int8_batched_r3b sample_s 3600 \
+  python tools/bench_cogvideox.py --quantize int8 --cfg-mode batched
 echo "$(date -u +%T) [q] queue done" >> "$LOG/queue.log"
