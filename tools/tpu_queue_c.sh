@@ -37,9 +37,13 @@ run() {
 cd /root/repo || exit 1
 # ---- phases ---------------------------------------------------------------
 run cog17_bf16_r3b sample_s 3 3600 python tools/bench_cogvideox.py
+run dc_blocks_r3 accounted_blocks_ms 2 3600 python tools/bench_dc_blocks.py
+run cog49_bf16_r3b sample_s 2 3600 python tools/bench_cogvideox.py --frames 49
 run svd_r3b compile_s 2 3600 python bench.py --phase svd
 run cog17_int8_batched_r3b sample_s 2 3600 \
   python tools/bench_cogvideox.py --quantize int8 --cfg-mode batched
 run cog17_qki8_r3 sample_s 2 3600 python tools/bench_cogvideox.py --qk-int8
 run dc_qki8_r3 runs 2 3600 python tools/bench_dynamicrafter.py --qk-int8
+# final cache-fresh headline run so the driver's end-of-round bench is warm
+run bench_final_r3c vs_baseline 2 2700 python bench.py
 echo "$(date -u +%T) [qc] queue C done" >> "$LOG/queue.log"
