@@ -40,6 +40,9 @@ cd /root/repo || exit 1
 # ---- phases ---------------------------------------------------------------
 # flagship first: cog17 bf16 at the exact protocol, flash-T kernel default
 run cog17_bf16_s6 sample_s 3 3600 python tools/bench_cogvideox.py
+# DC per-block attribution (queue C ran it but the logs were wiped): the
+# UNet3D forward is ~33% MFU — this tells us where the headline's time goes
+run dc_blocks_s6 accounted_blocks_ms 2 3600 python tools/bench_dc_blocks.py
 # north star: cog49 bf16 (flash-T should cut the 188.5 s sampler ~8%)
 run cog49_bf16_s6 sample_s 2 3600 python tools/bench_cogvideox.py --frames 49
 # serving rows queue C never recorded
