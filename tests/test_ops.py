@@ -107,6 +107,51 @@ def test_dot_product_attention_bshd(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("b,s,h,d", [
+    (512, 16, 2, 16),   # pack=8, b*h divisible
+    (100, 16, 3, 8),    # b*h=300 not divisible by pack=8 -> padding path
+    (256, 25, 2, 16),   # pack=5 (SVD 25f), packed_len 125 < 128
+])
+def test_packed_small_attention_matches_reference(rng, b, s, h, d):
+    from motionrag_tpu.ops.attention import packed_small_attention
+
+    q = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    out = packed_small_attention(q, k, v, d ** -0.5)
+    ref = _ref_attn(
+        np.asarray(q).transpose(0, 2, 1, 3),
+        np.asarray(k).transpose(0, 2, 1, 3),
+        np.asarray(v).transpose(0, 2, 1, 3),
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_packed_small_attention_grads(rng):
+    from motionrag_tpu.ops.attention import packed_small_attention
+
+    b, s, h, d = 48, 16, 2, 8
+    q = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+
+    def loss_packed(q, k, v):
+        return jnp.sum(packed_small_attention(q, k, v, d ** -0.5) ** 2)
+
+    def loss_ref(q, k, v):
+        out = _xla_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), d ** -0.5, None, False,
+        )
+        return jnp.sum(out ** 2)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_attention_mask_and_gqa(rng):
     b, s, h, d = 1, 32, 4, 8
     q = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
