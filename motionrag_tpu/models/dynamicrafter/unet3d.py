@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from motionrag_tpu.models.diffusion_blocks import (
     GEGLUFeedForward,
+    TemporalConv3,
     TimestepEmbedding,
     Timesteps,
 )
@@ -239,8 +240,11 @@ class TemporalConvBlock(nn.Module):
             s = self.param(f"norm{idx}_scale", nn.initializers.ones, (c,))
             bb = self.param(f"norm{idx}_bias", nn.initializers.zeros, (c,))
             hid = group_norm(hid, 32, s, bb, act="silu")
-            hid = nn.Conv(
-                c, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+            # (3,1,1) conv as shifted GEMMs (diffusion_blocks.TemporalConv3):
+            # identical params/math, ~matmul-rate instead of the slow XLA
+            # 3D-conv lowering (per-block attribution, analyze_dc_blocks.py)
+            hid = TemporalConv3(
+                c,
                 kernel_init=nn.initializers.zeros if idx == 4 else nn.initializers.lecun_normal(),
                 dtype=self.dtype, name=f"conv{idx}",
             )(hid)
