@@ -280,7 +280,7 @@ def _fwd_kernel_t(
             # SageAttention-style dequant multiplier: per-q-token scale
             # (softmax scale + log2e already folded in) x this kv block's
             # scalar scale — one fused VPU pass over the score tile
-            deq = sq_ref[0] * sk_ref[0, 0]  # [1, block_q]
+            deq = sq_ref[0] * sk_ref[0, 0, 0, 0]  # [1, block_q]
         for sub in range(n_inner):
             k = k_ref[0, pl.ds(sub * inner, inner), :]  # [inner, d]
             if qk_int8:
@@ -403,9 +403,13 @@ def _fwd_t(q, k, v, scale, block_q, block_k, interpret, qk_int8=False):
     operands = [qt, kp, vt]
     if qk_int8:
         in_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)))
-        in_specs.append(pl.BlockSpec((1, 1), lambda b, i, j: (b, j),
+        # the per-kv-block scale rides in SMEM as [bh, n_kv, 1, 1] so the
+        # (1,1,1,1) block's last two dims EQUAL the array's — a 2D (1,1)
+        # block violates the (8,128) tile rule on real TPUs (interpret mode
+        # does not enforce it; burned on the first hardware run)
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda b, i, j: (b, j, 0, 0),
                                      memory_space=pltpu.SMEM))
-        operands += [sqt, skb]
+        operands += [sqt, skb[:, :, None, None]]
     ot = pl.pallas_call(
         kernel,
         grid=(bh, n_q, n_kv),
