@@ -4,7 +4,10 @@
 # lock bench.py and all bench tools take), so it can never co-tenant with
 # the driver's end-of-round bench or an interactive run. Incorporates the
 # round-2 advisor fixes: rc captured on its own line, success-specific
-# skip key, MRT_WATCHDOG_S on every run, no fragile pgrep gating.
+# skip key (finite-value match — a NaN/null fallback line never counts as
+# measured), no fragile pgrep gating. MRT_WATCHDOG_S is exported on every
+# run but only tools/bench_cogvideox.py implements the watchdog; the other
+# jobs rely on the outer `timeout` alone.
 #
 # Order (most valuable first, each bounded):
 #   1. DC per-block attribution AFTER the packed-temporal-attn +
@@ -22,7 +25,7 @@ echo "$(date -u +%T) [q7] starting" >> "$LOG/queue.log"
 run() {
   name=$1; key=$2; tries=$3; shift 3
   for attempt in $(seq 1 "$tries"); do
-    if [ -s "$LOG/$name.out" ] && grep -q "\"$key\"" "$LOG/$name.out"; then
+    if [ -s "$LOG/$name.out" ] && grep -Eq "\"$key\": *[0-9]" "$LOG/$name.out"; then
       echo "$(date -u +%T) [q7] SKIP $name (already measured)" >> "$LOG/queue.log"
       return
     fi
