@@ -14,6 +14,14 @@ A100-class hardware; BASELINE.md). Weights are random (wall-clock is
 value-independent); shapes, step counts, and sampler numerics
 (zero-terminal-SNR, dynamic rescale, v-param) match the reference protocol.
 
+If budget remains after the DynamiCrafter headline, a SECOND JSON line
+reports CogVideoX-5B-I2V at its exact eval protocol (17f 480x720, 25
+DPM-Solver++(SDE) steps, guidance 3 — reference
+``configs/cogvideox/MotionRAG_open.yml`` + wrapper defaults) end-to-end
+INCLUDING the same measured RAG retrieval + CAMA overhead, against the
+reference's published MotionRAG row: **63.0 s/video with RAG**
+(``/root/reference/README.md:48``; 59.4 s without, README.md:47).
+
 ``--svd`` additionally measures SVD at the reference protocol shape
 (16f 576x1024, 25 Euler steps + CFG);
 the reference publishes no SVD wall-clock, so it is detail-only.
@@ -320,6 +328,46 @@ _PHASES = {
 }
 
 
+def _run_cog_subprocess(small: bool, timeout: float) -> dict:
+    """CogVideoX exact-protocol e2e via ``tools/bench_cogvideox.py`` (which
+    itself phases T5 / sampler / VAE-decode across fresh TPU-client
+    processes — loaded sampler executables are only reclaimed at client
+    teardown). Never imports jax here; the parent must not hold a TPU
+    client while the phased children run. Returns the tool's parsed JSON
+    result ({} on failure)."""
+    import os
+    import subprocess
+
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "bench_cogvideox.py")]
+    if small:
+        cmd.append("--small")
+    env = dict(os.environ, MRT_TPU_LOCK_HELD="1",
+               MRT_WATCHDOG_S=str(int(max(120, timeout))))
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout, env=env)
+    except subprocess.TimeoutExpired as e:
+        sys.stderr.write((e.stderr or b"").decode() if isinstance(e.stderr, bytes)
+                         else (e.stderr or ""))
+        print(f"cog phase timed out after {timeout:.0f}s", file=sys.stderr)
+        time.sleep(15)  # let a killed child release HBM (CLAUDE.md)
+        return {}
+    sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            out = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(out, dict) and out.get("value") is not None \
+                and isinstance(out.get("detail"), dict):
+            return out
+    print(f"cog phase produced no result JSON (exit {proc.returncode})",
+          file=sys.stderr)
+    return {}
+
+
 def _run_phase_subprocess(phase: str, small: bool, timeout: float) -> dict:
     """Each phase runs in its own process: clean HBM (no cross-phase
     fragmentation — SVD after the DC sampler OOMs otherwise), and one
@@ -496,6 +544,34 @@ def main():
     }))
     sys.stdout.flush()
     print(json.dumps({"detail": {k: round(float(v), 3) for k, v in detail.items()}}), file=sys.stderr)
+
+    # --- Second scoreboard line: CogVideoX-5B exact protocol + RAG + CAMA --
+    # The reference's flagship MotionRAG row is CogVideoX WITH retrieval:
+    # 63.0 s/video (README.md:48). Our cog e2e (T5 + image-latent encode +
+    # 25-step DPM-SDE sampler + VAE decode) plus the SAME measured rag_s +
+    # cama_s overhead is the honest comparison. Warm-cache cost ≈ 300-450 s;
+    # a cache-cold sampler compile adds ~325 s — only attempt what fits.
+    if args.small or remaining() > 420:
+        with lock():
+            cog = _run_cog_subprocess(args.small, timeout=max(120, remaining() - 15))
+        cd = cog.get("detail") or {}
+        cog_ok = (cog.get("value") is not None
+                  and cog.get("vs_baseline") is not None)  # exact + complete
+        cog_total = (float(cog["value"]) + overhead) if cog_ok else None
+        cog_baseline = 63.0  # README.md:48, A100-class, includes RAG
+        print(json.dumps({
+            "metric": "sec/video end-to-end MotionRAG I2V (CogVideoX-5B-I2V "
+                      "17f 480x720, 25 DPM-SDE steps, guidance 3 + RAG "
+                      "retrieval + CAMA), 1x TPU v5e vs published A100",
+            "value": round(cog_total, 3) if cog_ok else None,
+            "unit": "s/video",
+            "vs_baseline": round(cog_baseline / cog_total, 3) if cog_ok else None,
+        }))
+        sys.stdout.flush()
+        if cog_ok:
+            cd["rag_cama_overhead_s"] = round(float(overhead), 3)
+            cd["vs_59.4_no_rag"] = round(59.4 / float(cog["value"]), 3)
+        print(json.dumps({"cog_detail": cd}), file=sys.stderr)
 
     if args.svd and remaining() > 120:
         with lock():
