@@ -69,7 +69,13 @@ class CogVideoX5B:
             remat=gradient_checkpointing, dtype=dtype
         )
         self.vae = vae or CogVideoXVAE(dtype=dtype)
-        self.text_encoder = text_encoder or T5Encoder(dtype=dtype)
+        # text_encoder=False: no on-device T5 — batches must carry
+        # precomputed ``prompt_embeds`` (the reference's text-cache idiom,
+        # ``src/data/text_cache.py``; mandatory on a single 16 GB chip where
+        # the 9.5 GB T5-XXL cannot co-reside with the 11 GB DiT)
+        self.text_encoder = (
+            None if text_encoder is False else (text_encoder or T5Encoder(dtype=dtype))
+        )
         self.eval_pipeline_call_kwargs = dict(eval_pipeline_call_kwargs or {})
         self.scheduler_name = self.eval_pipeline_call_kwargs.pop("scheduler", "ddim")
         self.freeze_modules = tuple(freeze_modules)
@@ -125,7 +131,7 @@ class CogVideoX5B:
         vid_nhwc = video.transpose(0, 1, 3, 4, 2).astype(self.dtype)
         vae_params = self.vae.init(r1, vid_nhwc)
         ids = jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 16), jnp.int32)))
-        t5_params = self.text_encoder.init(r2, ids)
+        t5_params = None if self.text_encoder is None else self.text_encoder.init(r2, ids)
         f_lat = (f - 1) // 4 + 1
         sample = jnp.zeros(
             (b, f_lat, h // 8, w // 8, self.transformer.in_channels), self.dtype
@@ -135,7 +141,9 @@ class CogVideoX5B:
             r3, sample, text, jnp.zeros((b,), jnp.int32),
             action_emb=self.template_action_emb(b),
         )
-        params = {"transformer": dit_params, "vae": vae_params, "text_encoder": t5_params}
+        params = {"transformer": dit_params, "vae": vae_params}
+        if t5_params is not None:
+            params["text_encoder"] = t5_params
         params.update(self.extra_param_inits(r4, batch))
         return params
 
@@ -149,10 +157,19 @@ class CogVideoX5B:
         b, f, c, h, w = video.shape
         rngs = jax.random.split(rng, 7)
 
-        prompt_embeds = self.text_encoder.apply(
-            params["text_encoder"],
-            jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 16), jnp.int32))),
-        )
+        if "prompt_embeds" in batch:
+            # text-cache path (reference ``src/data/text_cache.py`` idiom):
+            # embeddings precomputed offline/off-step, T5 never resident
+            prompt_embeds = jnp.asarray(batch["prompt_embeds"])
+        elif self.text_encoder is None:
+            raise ValueError(
+                "text_encoder=False requires precomputed 'prompt_embeds' in "
+                "the batch (data.text_cache)")
+        else:
+            prompt_embeds = self.text_encoder.apply(
+                params["text_encoder"],
+                jnp.asarray(batch.get("prompt_ids", jnp.zeros((b, 16), jnp.int32))),
+            )
 
         t = jax.random.randint(rngs[0], (b,), 0, self.schedule.num_train_timesteps)
 

@@ -40,12 +40,12 @@ __all__ = ["Trainer", "TrainState", "JSONLLogger"]
 
 # Lightning trainer keys that reference configs carry verbatim but that the
 # TPU runtime resolves by construction: device placement comes from the
-# MeshConfig (devices/num_nodes/accelerator/strategy), precision from the
-# modules' bf16 dtype policy, and the rest are torch/Lightning runtime
-# toggles with no JAX counterpart. Accepted so a reference config drops in
-# unchanged (reference configs/*/MotionRAG_open.yml trainer block).
+# MeshConfig (devices/num_nodes/accelerator/strategy), and the rest are
+# torch/Lightning runtime toggles with no JAX counterpart. Accepted so a
+# reference config drops in unchanged (reference configs/*/MotionRAG_open.yml
+# trainer block). ``precision`` is honored (see Trainer.__init__).
 _LIGHTNING_NOOP_KEYS = frozenset({
-    "accelerator", "strategy", "devices", "num_nodes", "precision",
+    "accelerator", "strategy", "devices", "num_nodes",
     "plugins", "profiler", "sync_batchnorm", "use_distributed_sampler",
     "benchmark", "deterministic", "detect_anomaly", "inference_mode",
     "barebones", "enable_progress_bar", "enable_model_summary",
@@ -91,8 +91,27 @@ class Trainer:
         limit_train_batches: Optional[int] = None,
         fast_dev_run: bool | int | None = None,
         enable_checkpointing: bool | None = None,
+        precision: str | int | None = None,
         **lightning_kwargs,
     ):
+        # Lightning ``precision`` semantics (every reference config sets
+        # 'bf16-true', configs/*/action_injection.yml:8): '*-true' casts the
+        # MODEL WEIGHTS — and therefore the optimizer moments, which torch
+        # creates in param dtype — to that dtype; '*-mixed' keeps fp32
+        # weights with low-precision compute (our modules' dtype field
+        # already provides the compute side). bf16-true halves param + Adam
+        # HBM: it is what lets the frozen 5.57B CogVideoX DiT train its
+        # adapters on a single 16 GB v5e (tools/bench_train.py cog_adapter).
+        _prec = str(precision) if precision is not None else None
+        if _prec in ("bf16-true", "bf16true"):
+            self.param_cast_dtype = jnp.bfloat16
+        elif _prec in (None, "32", "32-true", "bf16-mixed", "bf16",
+                       "16-mixed", "16-true", "16"):
+            # fp16 variants map to fp32 params: JAX-on-TPU has no fp16
+            # training story and bf16 compute subsumes it
+            self.param_cast_dtype = None
+        else:
+            raise ValueError(f"unsupported precision {precision!r}")
         unknown = set(lightning_kwargs) - _LIGHTNING_NOOP_KEYS
         if unknown:
             raise TypeError(
@@ -217,7 +236,30 @@ class Trainer:
         self.mesh = build_mesh(self.mesh_config)
         rng = jax.random.key(self.seed)
         rng, init_rng = jax.random.split(rng)
-        params = module.init_params(init_rng, batch_template)
+        if self.param_cast_dtype is None:
+            params = module.init_params(init_rng, batch_template)
+        else:
+            # bf16-true: jit the init+cast as ONE program so every fp32
+            # initializer output is transient (XLA frees each leaf after its
+            # cast — peak HBM = the bf16 tree + one fp32 leaf, not the full
+            # fp32 tree; the 5.57B CogVideoX DiT in fp32 alone is 22 GB)
+            cast = lambda x: (x.astype(self.param_cast_dtype)
+                              if jnp.issubdtype(x.dtype, jnp.floating) else x)
+            # batches can carry non-array leaves (metadata strings); only
+            # array leaves go through the jit boundary, the rest ride the
+            # closure untouched
+            leaves, treedef = jax.tree_util.tree_flatten(batch_template)
+            is_arr = [hasattr(x, "shape") and hasattr(x, "dtype") for x in leaves]
+            arrays = [x for x, m in zip(leaves, is_arr) if m]
+
+            def _init_cast(r, arrs):
+                it = iter(arrs)
+                bt = jax.tree_util.tree_unflatten(
+                    treedef, [next(it) if m else x for x, m in zip(leaves, is_arr)]
+                )
+                return jax.tree.map(cast, module.init_params(r, bt))
+
+            params = jax.jit(_init_cast)(init_rng, arrays)
         # LoRA (reference base_module.py:57-63 / lora_utils.py): low-rank
         # trees for every kernel matching lora_trainable_modules, stored
         # under params['lora'] so the optimizer mask / incremental
@@ -248,6 +290,13 @@ class Trainer:
                 params = ckpt_lib.merge_into(params, raw["params"])
             else:
                 params = ckpt_lib.merge_into(params, raw)
+        if self.param_cast_dtype is not None:
+            # LoRA trees init fp32 and checkpoint merges restore saved
+            # dtypes; one more cast keeps the whole tree at the precision
+            # policy (no-op astype for leaves already there)
+            params = jax.tree.map(
+                lambda x: x.astype(self.param_cast_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
         trainable_patterns = list(module.trainable_patterns)
         if lora_patterns:
             trainable_patterns.append("lora")

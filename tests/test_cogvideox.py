@@ -220,6 +220,44 @@ def test_cogvideox_quantized_eval_pipeline(cog_setup):
     assert qmodule._quant_cache.tree is cache_before
 
 
+def test_cogvideox_text_cache_path():
+    """text_encoder=False + batch['prompt_embeds'] (the reference's
+    src/data/text_cache.py idiom): T5 is never initialized and never
+    resident; the loss consumes the precomputed embeddings. Mandatory for
+    single-16GB-chip stage-1 training where T5-XXL cannot co-reside with
+    the 5.57B DiT."""
+    module = CogVideoX5B(
+        transformer=tiny_dit(), vae=tiny_vae(), text_encoder=False,
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(rng.uniform(-1, 1, (1, 9, 3, 32, 32)), jnp.float32),
+        "prompt_embeds": jnp.asarray(rng.normal(size=(1, 6, 32)), jnp.float32),
+    }
+    params = module.init_params(jax.random.key(0), batch)
+    assert "text_encoder" not in params
+    loss, _ = jax.jit(module.loss)(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    # embeddings actually flow into the model
+    batch2 = dict(batch, prompt_embeds=batch["prompt_embeds"] * -1)
+    loss2, _ = jax.jit(module.loss)(params, batch2, jax.random.key(1))
+    assert float(loss) != float(loss2)
+    with pytest.raises(ValueError, match="prompt_embeds"):
+        module.loss(params, {"video": batch["video"]}, jax.random.key(1))
+    # a module WITH a text encoder also prefers cached embeds when present
+    module_t5 = CogVideoX5B(
+        transformer=tiny_dit(), vae=tiny_vae(), text_encoder=tiny_t5(),
+        dtype=jnp.float32,
+    )
+    params_t5 = module_t5.init_params(
+        jax.random.key(0),
+        {"video": batch["video"],
+         "prompt_ids": jnp.zeros((1, 6), jnp.int32)})
+    loss_cached, _ = module_t5.loss(params_t5, batch, jax.random.key(1))
+    assert np.isfinite(float(loss_cached))
+
+
 def test_cogvideox_action_module_loss():
     module = CogVideoX5BAction(
         transformer=tiny_dit(adapter_sites=("transformer_blocks.0.attn1.processor",)),

@@ -472,6 +472,40 @@ def test_params_only_checkpoint_still_loads(tmp_path):
     assert np.abs(merged["w"]["params"]["kernel"]).max() > 0
 
 
+def test_bf16_true_precision_casts_params_and_moments(tmp_path):
+    """Lightning 'bf16-true' semantics (every reference training config,
+    e.g. reference configs/cogvideox/action_injection.yml trainer block):
+    model WEIGHTS are cast to bf16, so the Adam moments (created in param
+    dtype) are bf16 too — halving param+optimizer HBM. '32-true' and
+    'bf16-mixed' keep fp32 params."""
+    trainer = _mk_trainer(tmp_path, "bf16true", max_steps=2,
+                          precision="bf16-true")
+    state = trainer.fit(_LinearModule(), _GradDataModule(n=2))
+    params = jax.device_get(state.params)
+    for leaf in jax.tree.leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    # optimizer moments follow the param dtype
+    moment_dtypes = {
+        leaf.dtype for leaf in jax.tree.leaves(jax.device_get(state.opt_state))
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+        and getattr(leaf, "ndim", 0) >= 1
+    }
+    assert moment_dtypes <= {jnp.dtype(jnp.bfloat16)}, moment_dtypes
+    # training still moves the weights
+    w = np.asarray(params["w"]["params"]["kernel"], np.float32)
+    assert np.abs(w).max() > 0
+
+    for prec in ("32-true", "bf16-mixed"):
+        tr = _mk_trainer(tmp_path, f"p_{prec}", max_steps=1, precision=prec)
+        st = tr.fit(_LinearModule(), _GradDataModule(n=1))
+        k = jax.device_get(st.params)["w"]["params"]["kernel"]
+        assert k.dtype == jnp.float32
+
+    with pytest.raises(ValueError):
+        _mk_trainer(tmp_path, "badprec", precision="fp8-true")
+
+
 def test_gradient_clip_val_changes_updates(tmp_path):
     """With gradient scales varying across steps, global-norm clipping must
     change the Adam trajectory; an effectively-infinite clip must not."""

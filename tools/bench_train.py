@@ -30,7 +30,8 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", choices=["cama", "dc_adapter"], default="cama")
+    ap.add_argument("--workload", choices=["cama", "dc_adapter", "cog_adapter"],
+                    default="cama")
     ap.add_argument("--small", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--steps", type=int, default=3)
     args = ap.parse_args()
@@ -98,6 +99,81 @@ def main():
 
         metric = (f"CAMA stage-2 train step (b={b} K={k} {f}f {size}px, "
                   "frozen DINOv2-L+VideoMAE, Trainer path)")
+    elif args.workload == "cog_adapter":
+        # Stage-1 CogVideoX Motion-Adapter training
+        # (configs/cogvideox/action_injection.yml: batch 1/chip, 17f 480x720,
+        # frozen 5.57B DiT, trainable action_proj + all 42 attn1.processor
+        # adapters, precision bf16-true). Single-16GB-chip adaptations, both
+        # documented in docs/benchmarks.md: (a) gradient_checkpointing=True
+        # (the reference's 80 GB A100s run without), (b) precomputed
+        # prompt_embeds via text_encoder=False (the reference's
+        # src/data/text_cache.py idiom — T5-XXL at 9.5 GB bf16 cannot
+        # co-reside with the DiT). scan_blocks keeps the 42-block bwd HLO
+        # compilable by the remote service (trainable pattern '*.processor'
+        # matches the stacked scan layout).
+        from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
+        from motionrag_tpu.models.cogvideox.module import CogVideoX5BAction
+        from motionrag_tpu.models.encoders.condition import VideoMAEEmbedder
+        from motionrag_tpu.models.resampler import Resampler
+
+        if args.small:
+            from motionrag_tpu.models.cogvideox.vae3d import CogVideoXVAE
+
+            b, k, f, h, w, ref, text_dim, s_text = 1, 1, 5, 48, 48, 32, 32, 8
+            sites = tuple(f"transformer_blocks.{i}.attn1.processor"
+                          for i in range(2))
+            module = CogVideoX5BAction(
+                adapter_modules=sites,
+                transformer=CogVideoXTransformer3D(
+                    in_channels=32, out_channels=16, dim=64, depth=2, heads=4,
+                    head_dim=16, text_embed_dim=text_dim, time_embed_dim=32,
+                    adapter_sites=sites, remat=True,
+                    scan_blocks=True, dtype=dtype),
+                vae=CogVideoXVAE(block_out_channels=(32, 32, 32, 32),
+                                 layers_per_block=1, dtype=dtype),
+                text_encoder=False,
+                action_embedder=VideoMAEEmbedder(
+                    num_frames=4, image_size=32, dim=32, depth=1, heads=2,
+                    dtype=dtype),
+                action_proj_model=Resampler(
+                    dim=64, depth=1, dim_head=16, heads=4, num_queries=4,
+                    embedding_dim=32, output_dim=64, dtype=dtype),
+                full_trainable_modules=("action_proj_model", "*.processor"),
+                dtype=dtype,
+            )
+        else:
+            b, k, f, h, w, ref, text_dim, s_text = 1, 1, 17, 480, 720, 224, 4096, 226
+            sites = tuple(f"transformer_blocks.{i}.attn1.processor"
+                          for i in range(42))
+            module = CogVideoX5BAction(
+                adapter_modules=sites,
+                transformer=CogVideoXTransformer3D(
+                    adapter_sites=sites, remat=True, scan_blocks=True,
+                    dtype=dtype),
+                text_encoder=False,
+                action_embedder=VideoMAEEmbedder(dtype=dtype),
+                action_proj_model=Resampler(
+                    dim=1024, depth=4, dim_head=64, heads=12, num_queries=25,
+                    embedding_dim=768, output_dim=1024, dtype=dtype),
+                full_trainable_modules=("action_proj_model", "*.processor"),
+                dtype=dtype,
+            )
+
+        def make_batch(seed):
+            key = jax.random.key(seed)
+            return {
+                "video": jax.random.uniform(
+                    key, (b, f, 3, h, w), jnp.float32, -1, 1),
+                "prompt_embeds": jax.random.normal(
+                    jax.random.fold_in(key, 2), (b, s_text, text_dim), dtype),
+                "ref_videos": jax.random.uniform(
+                    jax.random.fold_in(key, 1), (b, k, f, 3, ref, ref),
+                    jnp.float32, -1, 1),
+            }
+
+        metric = (f"CogVideoX-5B stage-1 Motion-Adapter train step (b={b} "
+                  f"{f}f {h}x{w}, frozen 5.57B DiT bf16-true, remat+scan, "
+                  "cached T5 embeds, Trainer path)")
     else:
         from motionrag_tpu.models.dynamicrafter.module import (
             DynamiCrafterActionModule)
@@ -174,6 +250,10 @@ def main():
         checkpoint_every_n_steps=0,
         val_check_interval=0,
         log_every_n_steps=10_000,
+        # every reference training config sets precision: bf16-true
+        # (configs/*/action_injection.yml:8) — params AND Adam moments in
+        # bf16, Lightning bf16-true semantics
+        precision="bf16-true",
     )
     batch = make_batch(0)
     t0 = time.time()
