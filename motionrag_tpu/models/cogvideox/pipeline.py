@@ -164,12 +164,21 @@ class CogVideoXImageToVideoPipeline:
                     jnp.broadcast_to(t, (2 * b,)), action_emb=action_emb,
                 )
                 return v[:b], v[b:]
-            a_un, a_c = (None, None)
-            if action_emb is not None:
+            # sequential CFG as a length-2 lax.map over the stacked
+            # uncond/cond conditioning: ONE DiT body in the compiled program
+            # (vs two inlined copies — halves sampler HLO and cold-compile
+            # time), executed twice sequentially — identical math and the
+            # same half-batch activation peak as the two explicit calls
+            texts = jnp.stack([negative_embeds, prompt_embeds])
+            if action_emb is None:
+                preds = jax.lax.map(lambda tx: one_call(x, t, tx, None), texts)
+            else:
                 a_un, a_c = jnp.split(action_emb, 2, axis=0)
-            v_un = one_call(x, t, negative_embeds, a_un)
-            v_c = one_call(x, t, prompt_embeds, a_c)
-            return v_un, v_c
+                preds = jax.lax.map(
+                    lambda c: one_call(x, t, c[0], c[1]),
+                    (texts, jnp.stack([a_un, a_c])),
+                )
+            return preds[0], preds[1]
 
         if scheduler == "ddim":
             return ddim_sample_loop(

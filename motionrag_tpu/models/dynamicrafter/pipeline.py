@@ -115,9 +115,23 @@ class DynamiCrafterPipeline:
                     params["unet"], unet_in, jnp.broadcast_to(t, (2 * b,)), ctx2, fs=fs2
                 )
                 return pred[:b], pred[b:]
-            pred_c = unet_call(x, t, ctx_cond)
-            pred_u = unet_call(x, t, ctx_uncond)
-            return pred_c, pred_u
+            # sequential CFG as a length-2 lax.map over the stacked
+            # cond/uncond contexts: ONE UNet body in the compiled program
+            # (vs two inlined copies — halves sampler HLO and cold-compile
+            # time), executed twice sequentially — identical math and the
+            # same half-batch activation peak as the two explicit calls
+            names = ("prompt", "image", "action")
+            both = [k for k in names
+                    if ctx_cond.get(k) is not None and ctx_uncond.get(k) is not None]
+            mismatch = any(
+                (ctx_cond.get(k) is None) != (ctx_uncond.get(k) is None)
+                for k in names
+            ) or any(ctx_cond[k].shape != ctx_uncond[k].shape for k in both)
+            if mismatch:
+                return unet_call(x, t, ctx_cond), unet_call(x, t, ctx_uncond)
+            stacked = {k: jnp.stack([ctx_cond[k], ctx_uncond[k]]) for k in both}
+            preds = jax.lax.map(lambda c: unet_call(x, t, c), stacked)
+            return preds[0], preds[1]
 
         return ddim_sample(
             module.schedule, denoise_fn, noise, num_steps,

@@ -375,7 +375,12 @@ class Trainer:
         ]
         for field in ("freeze_modules", "full_trainable_modules", "lora_trainable_modules"):
             for pat in getattr(module, field, ()) or ():
-                if not any(_pm(toks, pat) for toks in all_tokens):
+                # raw config entries are module-relative — families prepend
+                # their own prefix before masking (e.g. ActionTransformerModule
+                # turns 'condition_proj' into 'condition_transformer.condition_proj')
+                # — so also try the pattern at any depth before warning
+                if not any(_pm(toks, pat) or _pm(toks, "*." + pat)
+                           for toks in all_tokens):
                     print(f"WARNING: {field} pattern {pat!r} matches no parameters",
                           flush=True)
 

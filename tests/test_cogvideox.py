@@ -188,6 +188,25 @@ def test_cogvideox_pipeline_smoke(cog_setup, scheduler):
     assert np.isfinite(np.asarray(frames)).all()
 
 
+@pytest.mark.parametrize("scheduler", ["ddim", "dpm"])
+def test_cogvideox_cfg_modes_equivalent(cog_setup, scheduler):
+    """Sequential CFG (a length-2 lax.map over the stacked uncond/cond
+    conditioning — one DiT body in the compiled program) must produce the
+    same frames as the reference-style batched-2x CFG."""
+    module, params, batch = cog_setup
+    kw = dict(num_frames=9, height=32, width=32, num_inference_steps=2,
+              sample_method=None)
+    module.pipe.scheduler_name = scheduler
+    outs = {}
+    for mode in ("batched", "sequential"):
+        module.pipe.cfg_mode = mode
+        outs[mode] = np.asarray(
+            module.eval_pipeline(params, batch, jax.random.key(5), **kw))
+    module.pipe.cfg_mode = "sequential"
+    np.testing.assert_allclose(outs["batched"], outs["sequential"],
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_cogvideox_quantized_eval_pipeline(cog_setup):
     """quantize='int8' end-to-end: the module quantizes the frozen DiT once
     (cached by leaf identity) and the sampler runs the W8A8 path, staying

@@ -146,6 +146,24 @@ def test_dynamicrafter_pipeline(dc_setup):
     assert np.isfinite(np.asarray(frames)).all()
 
 
+def test_dynamicrafter_cfg_modes_equivalent(dc_setup):
+    """Sequential CFG (a length-2 lax.map over the stacked cond/uncond
+    contexts — one UNet body in the compiled program) must produce the same
+    frames as the reference-style batched-2x CFG."""
+    module, params, batch = dc_setup
+    kw = dict(num_frames=4, height=32, width=32, ddim_steps=2)
+    outs = {}
+    for mode in ("batched", "sequential"):
+        module.cfg_mode = mode
+        module.pipe = module.build_pipeline()
+        outs[mode] = np.asarray(
+            module.eval_pipeline(params, batch, jax.random.key(5), **kw))
+    module.cfg_mode = "sequential"
+    module.pipe = module.build_pipeline()
+    np.testing.assert_allclose(outs["batched"], outs["sequential"],
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_dynamicrafter_quantized_eval_pipeline(dc_setup):
     """quantize='int8' UNet serving: same trajectory shape, close output,
     modulation MLPs left unquantized."""
