@@ -43,3 +43,37 @@ def test_wildcard_pattern_selects_action_branches():
     assert not pattern_matches(path, "unet.*.to_k_a")
     assert pattern_matches(path, "unet")
     assert not pattern_matches(path, "vae.*.to_q_a")
+
+
+PROTOCOL_CONFIGS = [c for c in ALL_CONFIGS
+                    if "MotionRAG_open" in c or "baseline_open" in c]
+
+
+@pytest.mark.parametrize("config", PROTOCOL_CONFIGS)
+def test_protocol_configs_use_exact_numerics(config):
+    """Drift guard: the published-protocol configs must build pipelines with
+    EXACT numerics — serving-only modes (adaptive output cache, int8 W8A8,
+    qk-int8) are opt-in and must stay OFF by default so any benchmark or
+    fidelity run from these configs is reference-comparable."""
+    from main import cli_main
+
+    model, _, _, _ = cli_main(["test", "-c", config], run=False)
+    pipe = getattr(model, "pipe", None)
+    if pipe is None:  # CAMA-only configs have no diffusion pipeline
+        pytest.skip("config has no eval pipeline")
+    assert float(getattr(pipe, "cache_threshold", 0.0)) == 0.0, config
+    assert getattr(pipe, "quantize", None) is None, config
+    assert getattr(model, "quantize", None) in (None,), config
+    # protocol constants (reference eval wrapper defaults, audited round 2)
+    kw = dict(getattr(model, "eval_pipeline_call_kwargs", {}) or {})
+    if "cogvideox" in config:
+        # some module classes pop 'scheduler' into scheduler_name at init
+        sched = kw.get("scheduler") or getattr(model, "scheduler_name", None)
+        assert sched == "dpm" and kw.get("num_inference_steps") == 25
+        assert float(kw.get("guidance_scale")) == 3.0
+        assert kw.get("sample_method", "missing") is None
+    elif "dynamicrafter" in config:
+        assert kw.get("ddim_steps") == 30
+        assert float(kw.get("unconditional_guidance_scale")) == 7.5
+    elif "svd" in config:
+        assert kw.get("num_frames", 16) == 16
