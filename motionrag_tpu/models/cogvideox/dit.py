@@ -82,6 +82,26 @@ class CogVideoXBlock(nn.Module):
     adapter_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     sequence_parallel: bool = False
+    # 'ring' rotates K/V shards around the sp ICI ring (ops/ring_attention,
+    # O(s/N) K/V residency, transfer overlaps compute); 'allgather' keeps
+    # the seq-sharded flash path (XLA all-gathers K/V per block). Measured
+    # on the sp=4 CPU mesh at the 49f token count (tools/compare_sp_modes.py):
+    # ring moves 21.2 MB of collectives per 2-block fwd vs all-gather's
+    # 73.9 MB and needs 3.9x less per-device temp (0.67 vs 2.59 GB) — ring
+    # is the default; non-divisible seqs fall back to all-gather.
+    sp_attention: str = "ring"
+
+    def _sp_ring_size(self, s: int):
+        """Ring engages only when sequence_parallel, the ambient mesh has an
+        sp axis > 1, and the joint seq divides it; None otherwise."""
+        if not (self.sequence_parallel and self.sp_attention == "ring"):
+            return None
+        from motionrag_tpu.parallel.sharding import ambient_mesh
+
+        m = ambient_mesh()
+        if m is None or "sp" not in m.axis_names or m.shape["sp"] == 1:
+            return None
+        return m.shape["sp"] if s % m.shape["sp"] == 0 else None
 
     @nn.compact
     def __call__(self, hidden, encoder_hidden, temb, rope_cache=None, action_emb=None):
@@ -130,7 +150,12 @@ class CogVideoXBlock(nn.Module):
             kv_ = _apply_rope_bhsd(kh[:, st:].transpose(0, 2, 1, 3), rope_cache)
             qh = jnp.concatenate([qh[:, :st], qv.transpose(0, 2, 1, 3)], axis=1)
             kh = jnp.concatenate([kh[:, :st], kv_.transpose(0, 2, 1, 3)], axis=1)
-        attn_out = dot_product_attention(qh, kh, vh).reshape(b, s, inner)
+        if self._sp_ring_size(s):
+            from motionrag_tpu.ops.ring_attention import ring_attention_bshd
+
+            attn_out = ring_attention_bshd(qh, kh, vh).reshape(b, s, inner)
+        else:
+            attn_out = dot_product_attention(qh, kh, vh).reshape(b, s, inner)
 
         if self.with_adapter and action_emb is not None:
             ip_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q_ip")(attn_out)
@@ -187,6 +212,7 @@ class _ScanBlockCell(nn.Module):
     adapter_scale: float
     dtype: jnp.dtype
     sequence_parallel: bool
+    sp_attention: str
     remat: bool
 
     @nn.compact
@@ -202,6 +228,7 @@ class _ScanBlockCell(nn.Module):
             adapter_scale=self.adapter_scale,
             dtype=self.dtype,
             sequence_parallel=self.sequence_parallel,
+            sp_attention=self.sp_attention,
             name="block",
         )(hidden, enc, temb, rope, action_emb)
         return (hidden, enc), None
@@ -230,6 +257,13 @@ class CogVideoXTransformer3D(nn.Module):
     # with the flash q-seq partitioning rule this yields all-gather-KV
     # sequence parallelism through every block
     sequence_parallel: bool = False
+    # sp attention algorithm: 'ring' (ops/ring_attention ppermute ring,
+    # O(s/N) K/V residency — measured 3.5x fewer collective bytes and 3.9x
+    # less per-device temp than 'allgather' at the 49f shape, see
+    # tools/compare_sp_modes.py) or 'allgather' (seq-sharded flash with
+    # XLA-inserted K/V all-gathers; also the automatic fallback when the
+    # joint seq does not divide the sp axis)
+    sp_attention: str = "ring"
     # compile the depth-42 stack as ONE nn.scan'd block instead of 42
     # unrolled copies: ~depth-x smaller HLO (compile time) and a stacked
     # [depth, ...] param layout that parallel/pipeline.py pipelines over a
@@ -315,6 +349,7 @@ class CogVideoXTransformer3D(nn.Module):
                     adapter_scale=self.adapter_scale,
                     dtype=self.dtype,
                     sequence_parallel=self.sequence_parallel,
+                    sp_attention=self.sp_attention,
                     remat=self.remat,
                     name="transformer_blocks",
                 )
@@ -332,6 +367,7 @@ class CogVideoXTransformer3D(nn.Module):
                     adapter_scale=self.adapter_scale,
                     dtype=self.dtype,
                     sequence_parallel=self.sequence_parallel,
+                    sp_attention=self.sp_attention,
                     name=f"transformer_blocks_{i}",
                 )(hidden, enc, temb, rope, action_emb)
 
@@ -369,6 +405,7 @@ class CogVideoXTransformer3D(nn.Module):
             adapter_scale=self.adapter_scale,
             dtype=self.dtype,
             sequence_parallel=self.sequence_parallel,
+            sp_attention=self.sp_attention,
         )
         b = hidden.shape[0]
         a_full = None

@@ -88,3 +88,31 @@ def sequence_parallel_attention(q, k, v, mesh, axis: str = "sp", *,
     shard = NamedSharding(mesh, spec)
     return fn(jax.device_put(q, shard), jax.device_put(k, shard),
               jax.device_put(v, shard))
+
+
+def ring_attention_bshd(q, k, v, axis: str = "sp", *, mesh=None,
+                        scale: float | None = None):
+    """In-jit BSHD entry used by the DiT's sequence-parallel mode
+    (``models/cogvideox/dit.py`` ``sp_attention='ring'``): q, k, v
+    [b, s, h, d] with s divisible by the ``axis`` mesh size. Builds the
+    shard_map over the ambient mesh (trace-safe — no device_put), returns
+    [b, s, h, d] seq-sharded over ``axis``. Caller guards divisibility and
+    mesh presence."""
+    from jax.experimental.shard_map import shard_map
+
+    from motionrag_tpu.parallel.sharding import ambient_mesh
+
+    mesh = mesh or ambient_mesh()
+    spec = P(None, axis, None, None)  # [b, s, h, d] sharded on s
+
+    def body(qs, ks, vs):
+        # BSHD -> BHSD for the ring body, back after
+        out = ring_attention(
+            qs.transpose(0, 2, 1, 3), ks.transpose(0, 2, 1, 3),
+            vs.transpose(0, 2, 1, 3), axis, scale=scale,
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec, check_rep=False)
+    return fn(q, k, v)
