@@ -79,6 +79,9 @@ class VideoMAEEmbedder(nn.Module):
     heads: int = 12
     freeze: bool = True
     dtype: jnp.dtype = jnp.float32
+    # one nn.scan'd block instead of depth unrolled copies (vit.py) — param
+    # layout converts automatically (checkpoints.adapt_block_layout)
+    scan_blocks: bool = False
 
     def setup(self):
         self.model = VisionTransformer(
@@ -91,6 +94,7 @@ class VideoMAEEmbedder(nn.Module):
             depth=self.depth,
             heads=self.heads,
             dtype=self.dtype,
+            scan_blocks=self.scan_blocks,
         )
 
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +124,7 @@ class VideoMAE2Embedder(VideoMAEEmbedder):
             depth=self.depth,
             heads=self.heads,
             dtype=self.dtype,
+            scan_blocks=self.scan_blocks,
         )
 
 
@@ -186,6 +191,9 @@ class DINOImageEmbedder(nn.Module):
     heads: int = 16
     freeze: bool = True
     dtype: jnp.dtype = jnp.float32
+    # one nn.scan'd block instead of depth unrolled copies (vit.py) — param
+    # layout converts automatically (checkpoints.adapt_block_layout)
+    scan_blocks: bool = False
 
     def setup(self):
         self.encoder = VisionTransformer(
@@ -197,6 +205,7 @@ class DINOImageEmbedder(nn.Module):
             heads=self.heads,
             layerscale_init=1e-5,
             dtype=self.dtype,
+            scan_blocks=self.scan_blocks,
         )
 
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:

@@ -87,6 +87,30 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+class _ViTScanCell(nn.Module):
+    """nn.scan cell for :class:`VisionTransformer` ``scan_blocks`` mode:
+    carry = (hidden, prev_hidden); wraps ``ViTBlock`` under name='block' so
+    the stacked tree is ``blocks/block/...`` with a leading depth axis."""
+
+    dim: int
+    heads: int
+    mlp_ratio: float
+    layerscale_init: Optional[float]
+    ln_eps: float
+    qkv_bias_style: str
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, _):
+        hidden, _prev = carry
+        new = ViTBlock(
+            self.dim, self.heads, self.mlp_ratio, self.layerscale_init,
+            self.ln_eps, qkv_bias_style=self.qkv_bias_style,
+            dtype=self.dtype, name="block",
+        )(hidden)
+        return (new, hidden), None
+
+
 class VisionTransformer(nn.Module):
     """Generic ViT.
 
@@ -118,6 +142,14 @@ class VisionTransformer(nn.Module):
     layerscale_init: Optional[float] = None
     ln_eps: Optional[float] = None  # default per variant
     dtype: jnp.dtype = jnp.float32
+    # compile the depth-N stack as ONE nn.scan'd block instead of N unrolled
+    # copies (~depth-x smaller HLO; the frozen-encoder training-step graphs
+    # — 24-deep DINOv2-L + VideoMAE inside one fused CAMA train step — blew
+    # past the remote compile service's budget unrolled). Param layout:
+    # ``blocks/block/...`` with a leading depth axis instead of
+    # ``blocks_{i}/...``; checkpoints/porters convert automatically via
+    # training/checkpoints.adapt_block_layout.
+    scan_blocks: bool = False
 
     @property
     def _ln_eps(self) -> float:
@@ -175,15 +207,28 @@ class VisionTransformer(nn.Module):
 
         hidden = tokens
         penult = tokens  # depth<2 degenerate case: embeddings themselves
-        for i in range(self.depth):
-            hidden = ViTBlock(
-                self.dim, self.heads, self.mlp_ratio,
-                self.layerscale_init, self._ln_eps,
-                qkv_bias_style="beit" if self.variant == "videomae2" else "packed",
-                dtype=self.dtype, name=f"blocks_{i}",
-            )(hidden)
-            if penultimate and i == self.depth - 2:
-                penult = hidden
+        block_kw = dict(
+            dim=self.dim, heads=self.heads, mlp_ratio=self.mlp_ratio,
+            layerscale_init=self.layerscale_init, ln_eps=self._ln_eps,
+            qkv_bias_style="beit" if self.variant == "videomae2" else "packed",
+            dtype=self.dtype,
+        )
+        if self.scan_blocks:
+            stack = nn.scan(
+                _ViTScanCell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth,
+            )(**block_kw, name="blocks")
+            # carry = (hidden, previous hidden) so the penultimate tap (the
+            # input to the last block) survives the scan without storing
+            # per-step outputs
+            (hidden, penult), _ = stack((hidden, hidden), None)
+        else:
+            for i in range(self.depth):
+                hidden = ViTBlock(**block_kw, name=f"blocks_{i}")(hidden)
+                if penultimate and i == self.depth - 2:
+                    penult = hidden
 
         if penultimate:
             return penult

@@ -70,45 +70,56 @@ def _is_none(x):
     return x is None
 
 
+def _loop_families(tree: dict) -> dict[str, list[str]]:
+    """Group sibling keys ``<prefix>_{i}`` (i = 0..n-1 complete) by prefix —
+    the unrolled-block naming the porting converters and loop-mode modules
+    produce (``transformer_blocks_{i}`` for the DiT, ``blocks_{i}`` for the
+    scanned ViT encoders)."""
+    fams: dict[str, list[str]] = {}
+    for k in tree:
+        if "_" in k and k.rsplit("_", 1)[1].isdigit():
+            fams.setdefault(k.rsplit("_", 1)[0], []).append(k)
+    out = {}
+    for prefix, keys in fams.items():
+        keys.sort(key=lambda k: int(k.rsplit("_", 1)[1]))
+        idx = [int(k.rsplit("_", 1)[1]) for k in keys]
+        if idx == list(range(len(idx))) and len(idx) > 1:
+            out[prefix] = keys
+    return out
+
+
 def adapt_block_layout(target: Any, restored: Any) -> Any:
-    """Convert DiT block params between the unrolled layout
-    (``transformer_blocks_{i}`` subtrees — what the porting converters and
+    """Convert repeated-block params between the unrolled layout
+    (``<prefix>_{i}`` sibling subtrees — what the porting converters and
     loop-mode checkpoints produce) and the scanned layout
-    (``transformer_blocks.block`` with a leading depth axis — what
-    ``scan_blocks=True`` modules own) wherever the checkpoint and the target
-    tree disagree, so one released artifact serves both execution modes."""
+    (``<prefix>.block`` with a leading depth axis — what ``scan_blocks=True``
+    modules own) wherever the checkpoint and the target tree disagree, so
+    one released artifact serves both execution modes. Handles the DiT's
+    ``transformer_blocks`` and the ViT encoders' ``blocks`` families alike."""
     if not (isinstance(target, dict) and isinstance(restored, dict)):
         return restored
 
     out = dict(restored)
-    loop_keys = sorted(
-        (
-            k for k in out
-            if k.startswith("transformer_blocks_") and k.rsplit("_", 1)[1].isdigit()
-        ),
-        key=lambda k: int(k.rsplit("_", 1)[1]),
-    )
-    if loop_keys and "transformer_blocks" in target and "transformer_blocks" not in out:
-        blocks = [out.pop(k) for k in loop_keys]
-        out["transformer_blocks"] = {
-            "block": jax.tree.map(_stack_layers, *blocks, is_leaf=_is_none)
-        }
-    elif (
-        "transformer_blocks" in out
-        and isinstance(out["transformer_blocks"], dict)
-        and set(out["transformer_blocks"]) == {"block"}
-        and "transformer_blocks" not in target
-        and any(k.startswith("transformer_blocks_") for k in target)
-    ):
-        stacked = out.pop("transformer_blocks")["block"]
-        depth = sum(
-            1 for k in target
-            if k.startswith("transformer_blocks_") and k.rsplit("_", 1)[1].isdigit()
-        )
-        for i in range(depth):
-            out[f"transformer_blocks_{i}"] = jax.tree.map(
-                lambda x, i=i: None if x is None else x[i], stacked, is_leaf=_is_none
-            )
+    # unrolled checkpoint -> scanned target
+    for prefix, loop_keys in _loop_families(out).items():
+        tgt = target.get(prefix)
+        if (isinstance(tgt, dict) and set(tgt) == {"block"}
+                and prefix not in out):
+            blocks = [out.pop(k) for k in loop_keys]
+            out[prefix] = {
+                "block": jax.tree.map(_stack_layers, *blocks, is_leaf=_is_none)
+            }
+    # scanned checkpoint -> unrolled target
+    for prefix, tgt_keys in _loop_families(target).items():
+        sub = out.get(prefix)
+        if (isinstance(sub, dict) and set(sub) == {"block"}
+                and prefix not in target):
+            stacked = out.pop(prefix)["block"]
+            for i in range(len(tgt_keys)):
+                out[f"{prefix}_{i}"] = jax.tree.map(
+                    lambda x, i=i: None if x is None else x[i],
+                    stacked, is_leaf=_is_none,
+                )
     return {
         k: adapt_block_layout(target[k], v)
         if isinstance(v, dict) and isinstance(target.get(k), dict)

@@ -70,10 +70,14 @@ def main():
             ct_trans = TransformerEncoder(num_layers=1, d_model=dim, nhead=4,
                                           dim_feedforward=128)
         else:
-            # condition_trans_dino_dc_open.yml scales
+            # condition_trans_dino_dc_open.yml scales. scan_blocks on the
+            # frozen encoders: numerically identical (tests/test_vit_scan.py)
+            # but ~depth-x smaller HLO — the unrolled 24-deep DINOv2-L +
+            # VideoMAE train-step graph exceeded the remote compile
+            # service's budget (>30 min, killed twice)
             b, k, f, size, dim = 8, 9, 16, 224, 1024
-            vm = VideoMAEEmbedder(dtype=dtype)
-            dino = DINOImageEmbedder(dtype=dtype)
+            vm = VideoMAEEmbedder(dtype=dtype, scan_blocks=True)
+            dino = DINOImageEmbedder(dtype=dtype, scan_blocks=True)
             rs = lambda ed: Resampler(dim=1024, depth=4, dim_head=64,
                                       heads=12, num_queries=25,
                                       embedding_dim=ed, output_dim=1024)
@@ -151,7 +155,7 @@ def main():
                     adapter_sites=sites, remat=True, scan_blocks=True,
                     dtype=dtype),
                 text_encoder=False,
-                action_embedder=VideoMAEEmbedder(dtype=dtype),
+                action_embedder=VideoMAEEmbedder(dtype=dtype, scan_blocks=True),
                 action_proj_model=Resampler(
                     dim=1024, depth=4, dim_head=64, heads=12, num_queries=25,
                     embedding_dim=768, output_dim=1024, dtype=dtype),
@@ -217,7 +221,7 @@ def main():
             # action_injection.yml scales: 16f 320x512, batch 2, gt ref
             b, k, f, h, w, ref = 2, 1, 16, 320, 512, 224
             module = DynamiCrafterActionModule(
-                action_embedder=VideoMAEEmbedder(dtype=dtype),
+                action_embedder=VideoMAEEmbedder(dtype=dtype, scan_blocks=True),
                 action_proj=Resampler(dim=1024, depth=4, dim_head=64,
                                       heads=12, num_queries=25,
                                       embedding_dim=768, output_dim=1024,
@@ -297,10 +301,18 @@ def main():
 
 
 if __name__ == "__main__":
+    import contextlib
     import os
     import sys as _sys
     _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from tools.tpu_lock import tpu_lock
 
-    with tpu_lock():
+    # --small runs on CPU — taking the TPU flock there would deadlock
+    # against a real TPU bench holding it
+    if "--small" in _sys.argv:
+        lock = contextlib.nullcontext()
+    else:
+        from tools.tpu_lock import tpu_lock
+
+        lock = tpu_lock()
+    with lock:
         main()
