@@ -121,6 +121,71 @@ def main():
                                     f"L{li}_temporal_xfmr_ms")),
               file=sys.stderr, flush=True)
 
+    # ---- glue: everything the per-level block table does NOT cover -------
+    # (VERDICT r3 #7: ~94 ms/forward unaccounted). init_attn runs at FULL
+    # resolution with inner=512 over 320 channels — the single biggest
+    # suspect; then the down/up-sample convs and the in/out convs.
+    import flax.linen as nn
+
+    ch0 = levels[0][0]
+    h0g, w0g = levels[0][1], levels[0][2]
+
+    init_attn = TemporalTransformer3D(ch0, 8 if not args.small else 2, 64,
+                                      dtype=dtype)
+    p = init_attn.init(key, jnp.zeros((t, h0g, w0g, ch0), dtype), t)
+    results["init_attn_ms"] = 1e3 * timeit(
+        lambda p, x: init_attn.apply(p, x, t), p,
+        lambda n, s: jax.random.normal(jax.random.key(s), (n, t, h0g, w0g, ch0), dtype))
+
+    conv_in = nn.Conv(ch0, (3, 3), padding=1, dtype=dtype)
+    cin = 8
+    p = conv_in.init(key, jnp.zeros((t, h0g, w0g, cin), dtype))
+    results["conv_in_ms"] = 1e3 * timeit(
+        lambda p, x: conv_in.apply(p, x), p,
+        lambda n, s: jax.random.normal(jax.random.key(s), (n, t, h0g, w0g, cin), dtype))
+
+    glue_down = glue_up = 0.0
+    for li in range(len(levels) - 1):
+        c, h, w, _ = levels[li]
+        down = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                       dtype=dtype)
+        p = down.init(key, jnp.zeros((t, h, w, c), dtype))
+        ms = 1e3 * timeit(
+            lambda p, x: down.apply(p, x), p,
+            lambda n, s, h=h, w=w, c=c: jax.random.normal(
+                jax.random.key(s), (n, t, h, w, c), dtype))
+        results[f"down{li}_ms"] = ms
+        glue_down += ms
+
+        cu, hu, wu, _ = levels[li + 1]
+        from motionrag_tpu.models.diffusion_blocks import nearest_upsample_2x
+
+        up = nn.Conv(cu, (3, 3), padding=1, dtype=dtype)
+        p = up.init(key, jnp.zeros((t, hu * 2, wu * 2, cu), dtype))
+        ms = 1e3 * timeit(
+            lambda p, x: up.apply(p, nearest_upsample_2x(x)), p,
+            lambda n, s, hu=hu, wu=wu, cu=cu: jax.random.normal(
+                jax.random.key(s), (n, t, hu, wu, cu), dtype))
+        results[f"up{li + 1}_ms"] = ms
+        glue_up += ms
+
+    out_conv = nn.Conv(4, (3, 3), padding=1, dtype=dtype)
+    p = out_conv.init(key, jnp.zeros((t, h0g, w0g, ch0), dtype))
+    from motionrag_tpu.ops.norms import group_norm as _gn
+
+    sc = jnp.ones((ch0,)); bi = jnp.zeros((ch0,))
+    results["out_norm_conv_ms"] = 1e3 * timeit(
+        lambda p, x: out_conv.apply(p, _gn(x, 32, sc, bi, act="silu")), p,
+        lambda n, s: jax.random.normal(jax.random.key(s), (n, t, h0g, w0g, ch0), dtype))
+
+    results["glue_total_ms"] = (results["init_attn_ms"] + results["conv_in_ms"]
+                                + glue_down + glue_up
+                                + results["out_norm_conv_ms"])
+    print(f"glue: init_attn={results['init_attn_ms']:.1f} "
+          f"conv_in={results['conv_in_ms']:.1f} down={glue_down:.1f} "
+          f"up={glue_up:.1f} out={results['out_norm_conv_ms']:.1f} "
+          f"total={results['glue_total_ms']:.1f}", file=sys.stderr, flush=True)
+
     if not args.skip_full:
         unet = UNet3D(dtype=dtype) if not args.small else UNet3D(
             model_channels=32, channel_mult=(1, 2), num_head_channels=16,

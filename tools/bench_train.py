@@ -301,18 +301,11 @@ def main():
 
 
 if __name__ == "__main__":
-    import contextlib
     import os
     import sys as _sys
     _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.tpu_lock import tpu_lock
 
-    # --small runs on CPU — taking the TPU flock there would deadlock
-    # against a real TPU bench holding it
-    if "--small" in _sys.argv:
-        lock = contextlib.nullcontext()
-    else:
-        from tools.tpu_lock import tpu_lock
-
-        lock = tpu_lock()
-    with lock:
+    # tpu_lock itself skips the flock for --small CPU smoke runs
+    with tpu_lock():
         main()

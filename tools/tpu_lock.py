@@ -38,6 +38,13 @@ def tpu_lock(timeout: float | None = None, path: str = LOCK_PATH):
     if os.environ.get("MRT_TPU_LOCK_HELD"):
         yield
         return
+    # CPU-only smoke runs (--small by bench-tool convention) never create a
+    # TPU client — serializing them against a real TPU bench holding the
+    # lock is a pure deadlock (burned twice: bench_train/bench_dc_blocks
+    # --small hung behind 30-min TPU compiles)
+    if "--small" in sys.argv:
+        yield
+        return
     fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     try:
         t0 = time.time()
