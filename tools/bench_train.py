@@ -218,9 +218,18 @@ def main():
                 dtype=dtype,
             )
         else:
-            # action_injection.yml scales: 16f 320x512, batch 2, gt ref
+            # action_injection.yml scales: 16f 320x512, batch 2, gt ref.
+            # remat=True is a documented single-16GB-chip adaptation (the
+            # reference trains this on 80 GB A100s with use_checkpoint:
+            # false — without remat the step needs 26.6 GB of activations,
+            # measured OOM); scan_blocks shrinks the fwd+bwd HLO for the
+            # remote compile service.
+            from motionrag_tpu.models.dynamicrafter.unet3d import UNet3D
+
             b, k, f, h, w, ref = 2, 1, 16, 320, 512, 224
             module = DynamiCrafterActionModule(
+                unet=UNet3D(action_cross_attention=True, remat=True,
+                            scan_blocks=True, dtype=dtype),
                 action_embedder=VideoMAEEmbedder(dtype=dtype, scan_blocks=True),
                 action_proj=Resampler(dim=1024, depth=4, dim_head=64,
                                       heads=12, num_queries=25,
