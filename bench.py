@@ -187,6 +187,12 @@ def bench_dynamicrafter(small: bool):
         # (ops/quant.py); the default headline stays exact bf16
         env = __import__("os").environ
         module = DynamiCrafterModule(
+            # scan_blocks: numerically identical to the unrolled UNet
+            # (tests/test_unet_scan.py) but ~35% smaller sampler HLO — with
+            # the lax.map CFG dedup this attacks the 502 s cache-cold DC
+            # compile (VERDICT r3 #4). MRT_SCAN_UNET=0 restores unrolled.
+            unet=UNet3D(scan_blocks=env.get("MRT_SCAN_UNET", "1") == "1",
+                        dtype=dtype),
             dtype=dtype,
             cache_threshold=float(env.get("MRT_CACHE_THRESHOLD", 0)),
             quantize=env.get("MRT_QUANTIZE") or None,
@@ -338,9 +344,12 @@ def _run_cog_subprocess(small: bool, timeout: float) -> dict:
     import os
     import subprocess
 
+    # scan-blocks DiT: measured same sampler speed, cold compile 59 s vs
+    # 151 s unrolled (docs/benchmarks.md serving table) and numerically
+    # identical (tests/test_dit_scan.py) — protects a cache-cold driver run
     cmd = [sys.executable,
            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "bench_cogvideox.py")]
+                        "tools", "bench_cogvideox.py"), "--scan-blocks"]
     if small:
         cmd.append("--small")
     env = dict(os.environ, MRT_TPU_LOCK_HELD="1",

@@ -286,6 +286,86 @@ class LVDMResBlock(nn.Module):
         return h
 
 
+class _UNetBlockCell(nn.Module):
+    """One structurally-uniform UNet unit — optional skip-concat, then
+    ResBlock(+temporal conv) [+ SpatialTransformer3D + TemporalTransformer3D]
+    — used as the body of the ``scan_blocks`` groups. Submodule names
+    (res/spatial/temporal) are the suffixes of the unrolled block names so
+    layout conversion is a pure re-stack."""
+
+    out_channels: int
+    temb_dim: int
+    temporal_conv: bool
+    attn: bool
+    temporal_attention: bool
+    num_head_channels: int
+    transformer_depth: int
+    context_dim: int
+    image_branch: bool
+    image_scale_learnable: bool
+    action_branch: bool
+    action_scale_learnable: bool
+    remat: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, hidden, skip, emb, ctx, num_frames):
+        if skip is not None:
+            hidden = jnp.concatenate([hidden, skip], axis=-1)
+        hidden = LVDMResBlock(
+            self.out_channels, self.temb_dim, self.temporal_conv,
+            dtype=self.dtype, name="res",
+        )(hidden, emb, num_frames)
+        if self.attn:
+            heads = self.out_channels // self.num_head_channels
+            spatial_cls = (nn.remat(SpatialTransformer3D) if self.remat
+                           else SpatialTransformer3D)
+            hidden = spatial_cls(
+                self.out_channels, heads, self.num_head_channels,
+                self.context_dim, self.transformer_depth,
+                image_branch=self.image_branch,
+                image_scale_learnable=self.image_scale_learnable,
+                action_branch=self.action_branch,
+                action_scale_learnable=self.action_scale_learnable,
+                dtype=self.dtype, name="spatial",
+            )(hidden, ctx)
+            if self.temporal_attention:
+                temporal_cls = (
+                    nn.remat(TemporalTransformer3D, static_argnums=(2,))
+                    if self.remat else TemporalTransformer3D
+                )
+                hidden = temporal_cls(
+                    self.out_channels, heads, self.num_head_channels,
+                    self.transformer_depth, dtype=self.dtype, name="temporal",
+                )(hidden, num_frames)
+        return hidden
+
+
+class _DownScanBody(nn.Module):
+    """nn.scan body for a down-path group: carry = hidden; per-step output
+    ys = the block output (the skip-connection residuals)."""
+
+    cell_kw: dict
+
+    @nn.compact
+    def __call__(self, carry, emb, ctx, num_frames):
+        h = _UNetBlockCell(**self.cell_kw, name="block")(
+            carry, None, emb, ctx, num_frames)
+        return h, h
+
+
+class _UpScanBody(nn.Module):
+    """nn.scan body for an up-path group: xs = the stacked skip tensors."""
+
+    cell_kw: dict
+
+    @nn.compact
+    def __call__(self, carry, skip, emb, ctx, num_frames):
+        h = _UNetBlockCell(**self.cell_kw, name="block")(
+            carry, skip, emb, ctx, num_frames)
+        return h, None
+
+
 class UNet3D(nn.Module):
     in_channels: int = 8
     out_channels: int = 4
@@ -307,6 +387,60 @@ class UNet3D(nn.Module):
     fs_condition: bool = True
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    # compile each level's run of structurally identical blocks as ONE
+    # nn.scan'd cell instead of unrolled copies (at DC-1024 scale: 11 of 22
+    # down/up blocks collapse into 5 scan groups — down L0 x2, down L3 x2,
+    # up L3 x3, up L2 x2, up L0 x2) — ~35% smaller sampler HLO on top of
+    # the lax.map CFG dedup (VERDICT r3 #4: the 502 s cache-cold DC compile).
+    # Param layout for grouped blocks becomes input_{L}_blocks/block/...
+    # with a leading group axis; stack_block_params converts the unrolled
+    # tree (checkpoints/porters adapt via checkpoints.adapt_block_layout).
+    scan_blocks: bool = False
+
+    def _groups(self):
+        """(down_groups, up_groups): per level, the (start, length) of the
+        maximal run of structurally identical blocks (length >= 2), derived
+        from channel arithmetic — blocks are identical iff their input
+        channel count matches (no skip 1x1, same concat width)."""
+        ch0 = self.model_channels
+        n = self.num_res_blocks
+        chans = [ch0 * m for m in self.channel_mult]
+        down_groups, stack = [], [ch0]
+        prev = ch0
+        for li, ch in enumerate(chans):
+            start = 0 if prev == ch else 1
+            length = n - start
+            down_groups.append((start, length) if length >= 2 else None)
+            stack.extend([ch] * n)
+            if li != len(chans) - 1:
+                stack.append(ch)
+            prev = ch
+        up_groups = []
+        prev = chans[-1]
+        for li in reversed(range(len(chans))):
+            ch = chans[li]
+            keys = []
+            for i in range(n + 1):
+                skip_ch = stack.pop()
+                # identical structure = same hidden width (scan carry shape)
+                # AND same skip width (concat width / res param shapes)
+                keys.append((prev if i == 0 else ch, skip_ch))
+            # maximal run of equal keys (at most one run >= 2 for any
+            # channel_mult; verified by the scan-vs-loop parity tests)
+            best = None
+            s = 0
+            while s <= n:
+                e = s
+                while e + 1 <= n and keys[e + 1] == keys[s]:
+                    e += 1
+                if e - s + 1 >= 2 and (best is None or e - s > best[1] - best[0]):
+                    best = (s, e)
+                s = e + 1
+            up_groups.append(
+                (best[0], best[1] - best[0] + 1) if best else None
+            )
+            prev = ch
+        return down_groups, up_groups
 
     @nn.compact
     def __call__(
@@ -389,17 +523,52 @@ class UNet3D(nn.Module):
             )(hidden, t)
         residuals = [hidden]
         ds = 1
+        down_groups, up_groups = (
+            self._groups() if self.scan_blocks
+            else ([None] * len(self.channel_mult),) * 2
+        )
+
+        def cell_kw(ch, attn):
+            return dict(
+                out_channels=ch, temb_dim=temb_dim,
+                temporal_conv=self.temporal_conv, attn=attn,
+                temporal_attention=self.temporal_attention,
+                num_head_channels=self.num_head_channels,
+                transformer_depth=self.transformer_depth,
+                context_dim=self.context_dim,
+                image_branch=self.image_cross_attention,
+                image_scale_learnable=self.image_scale_learnable,
+                action_branch=self.action_cross_attention,
+                action_scale_learnable=self.action_scale_learnable,
+                remat=self.remat, dtype=self.dtype,
+            )
+
+        bcast3 = (nn.broadcast, nn.broadcast, nn.broadcast)
 
         # down path
         for level, mult in enumerate(self.channel_mult):
             ch = ch0 * mult
-            for i in range(self.num_res_blocks):
+            grp = down_groups[level]
+            i = 0
+            while i < self.num_res_blocks:
+                if grp is not None and i == grp[0]:
+                    scan = nn.scan(
+                        _DownScanBody, variable_axes={"params": 0},
+                        split_rngs={"params": True}, in_axes=bcast3,
+                        out_axes=0, length=grp[1],
+                    )(cell_kw(ch, ds in self.attention_resolutions),
+                      name=f"input_{level}_blocks")
+                    hidden, resid = scan(hidden, emb, ctx, t)
+                    residuals.extend(resid[j] for j in range(grp[1]))
+                    i += grp[1]
+                    continue
                 hidden = res(ch, f"input_{level}_{i}_res")(hidden, emb, t)
                 if ds in self.attention_resolutions:
                     hidden = spatial(ch, f"input_{level}_{i}_spatial")(hidden, ctx)
                     if self.temporal_attention:
                         hidden = temporal(ch, f"input_{level}_{i}_temporal")(hidden, t)
                 residuals.append(hidden)
+                i += 1
             if level != len(self.channel_mult) - 1:
                 # lvdm Downsample is stride-2 conv with SYMMETRIC padding=1
                 # (openaimodel3d.py:61-71) — unlike the diffusers-VAE (0,1)
@@ -420,17 +589,31 @@ class UNet3D(nn.Module):
         hidden = res(ch, "middle_res_1")(hidden, emb, t)
 
         # up path
-        for level, mult in reversed(list(enumerate(self.channel_mult))):
+        for gi, (level, mult) in enumerate(reversed(list(enumerate(self.channel_mult)))):
             ch = ch0 * mult
-            for i in range(self.num_res_blocks + 1):
-                skip = residuals.pop()
-                hidden = jnp.concatenate([hidden, skip], axis=-1)
-                hidden = res(ch, f"output_{level}_{i}_res")(hidden, emb, t)
-                if ds in self.attention_resolutions:
-                    hidden = spatial(ch, f"output_{level}_{i}_spatial")(hidden, ctx)
-                    if self.temporal_attention:
-                        hidden = temporal(ch, f"output_{level}_{i}_temporal")(hidden, t)
-                if level and i == self.num_res_blocks:
+            grp = up_groups[gi] if self.scan_blocks else None
+            i = 0
+            while i < self.num_res_blocks + 1:
+                if grp is not None and i == grp[0]:
+                    skips = jnp.stack([residuals.pop() for _ in range(grp[1])])
+                    scan = nn.scan(
+                        _UpScanBody, variable_axes={"params": 0},
+                        split_rngs={"params": True},
+                        in_axes=(0,) + bcast3, out_axes=0, length=grp[1],
+                    )(cell_kw(ch, ds in self.attention_resolutions),
+                      name=f"output_{level}_blocks")
+                    hidden, _ = scan(hidden, skips, emb, ctx, t)
+                    i += grp[1]
+                else:
+                    skip = residuals.pop()
+                    hidden = jnp.concatenate([hidden, skip], axis=-1)
+                    hidden = res(ch, f"output_{level}_{i}_res")(hidden, emb, t)
+                    if ds in self.attention_resolutions:
+                        hidden = spatial(ch, f"output_{level}_{i}_spatial")(hidden, ctx)
+                        if self.temporal_attention:
+                            hidden = temporal(ch, f"output_{level}_{i}_temporal")(hidden, t)
+                    i += 1
+                if i == self.num_res_blocks + 1 and level:
                     from motionrag_tpu.models.diffusion_blocks import nearest_upsample_2x
 
                     hidden = nearest_upsample_2x(hidden)

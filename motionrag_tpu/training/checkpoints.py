@@ -100,6 +100,63 @@ def adapt_block_layout(target: Any, restored: Any) -> Any:
         return restored
 
     out = dict(restored)
+    # UNet3D scan groups: target ``<base>_blocks`` = {"block": {res/spatial/
+    # temporal}} covers the member indices of ``<base>_{i}_{part}`` that the
+    # target does NOT carry unrolled (groups may start at i>0, e.g. the DC
+    # up-L0 run starts at 1 — membership is inferred from the key sets, not
+    # from config)
+    import re as _re
+
+    for gk, gv in list(target.items()):
+        if not (gk.endswith("_blocks") and isinstance(gv, dict)
+                and set(gv) == {"block"} and gk not in out):
+            continue
+        base = gk[: -len("_blocks")]
+        pat = _re.compile(_re.escape(base) + r"_(\d+)_(\w+)$")
+        restored_idx = {}
+        for k in out:
+            m = pat.match(k)
+            if m:
+                restored_idx.setdefault(int(m.group(1)), {})[m.group(2)] = k
+        members = sorted(i for i in restored_idx
+                         if not any(pat.match(k) and int(pat.match(k).group(1)) == i
+                                    for k in target))
+        if len(members) < 2 or not all(
+                set(restored_idx[i]) == set(restored_idx[members[0]])
+                for i in members):
+            continue
+        block = {}
+        for part in restored_idx[members[0]]:
+            subs = [out.pop(restored_idx[i][part]) for i in members]
+            block[part] = jax.tree.map(_stack_layers, *subs, is_leaf=_is_none)
+        out[gk] = {"block": block}
+    # scanned checkpoint -> unrolled target (reverse of the above)
+    for gk in [k for k in out if k.endswith("_blocks")
+               and isinstance(out[k], dict) and set(out[k]) == {"block"}
+               and k not in target]:
+        base = gk[: -len("_blocks")]
+        pat = _re.compile(_re.escape(base) + r"_(\d+)_(\w+)$")
+        tgt_idx = {}
+        for k in target:
+            m = pat.match(k)
+            if m:
+                tgt_idx.setdefault(int(m.group(1)), set()).add(m.group(2))
+        block = out[gk]["block"]
+        if not tgt_idx or not block:
+            continue
+        # the group's members are the indices whose parts match the stacked
+        # tree's part set
+        members = sorted(i for i, parts in tgt_idx.items()
+                         if parts == set(block))
+        lead = {leaf.shape[0] for leaf in jax.tree.leaves(block)}
+        if len(lead) != 1 or len(members) != lead.pop():
+            continue
+        out.pop(gk)
+        for pos, i in enumerate(members):
+            for part, sub in block.items():
+                out[f"{base}_{i}_{part}"] = jax.tree.map(
+                    lambda x, pos=pos: None if x is None else x[pos],
+                    sub, is_leaf=_is_none)
     # unrolled checkpoint -> scanned target
     for prefix, loop_keys in _loop_families(out).items():
         tgt = target.get(prefix)
