@@ -174,8 +174,18 @@ class CogVideoX5B:
         t = jax.random.randint(rngs[0], (b,), 0, self.schedule.num_train_timesteps)
 
         vid_nhwc = video.transpose(0, 1, 3, 4, 2).astype(self.dtype)
-        latents = self.vae.apply(params["vae"], vid_nhwc, rngs[1], method="encode")
-        latents = latents.astype(jnp.float32)
+        # The frozen VAE's latents are CONSTANTS w.r.t. every trainable
+        # parameter, so the encodes run under the fused Pallas GroupNorm
+        # (no-VJP inference kernel, guarded by the stop_gradient below).
+        # Without it the XLA GroupNorm materializes four full-res fp32
+        # copies inside the train step — 9+ GB at 17f 480x720, the measured
+        # OOM of stage-1 adapter training on a 16 GB chip.
+        from motionrag_tpu.ops.norms import pallas_norms
+
+        with pallas_norms():
+            latents = self.vae.apply(
+                params["vae"], vid_nhwc, rngs[1], method="encode")
+        latents = jax.lax.stop_gradient(latents.astype(jnp.float32))
 
         noise = jax.random.normal(rngs[2], latents.shape, jnp.float32)
         noisy_latents = self.schedule.add_noise(latents, noise, t)
@@ -184,9 +194,11 @@ class CogVideoX5B:
         image = vid_nhwc[:, :1]
         sigma = jnp.exp(-3.0 + 0.5 * jax.random.normal(rngs[3], (1,), jnp.float32))
         noisy_image = image + jax.random.normal(rngs[4], image.shape) * sigma
-        img_lat = self.vae.apply(
-            params["vae"], noisy_image.astype(self.dtype), rngs[5], method="encode"
-        ).astype(jnp.float32)
+        with pallas_norms():
+            img_lat = self.vae.apply(
+                params["vae"], noisy_image.astype(self.dtype), rngs[5],
+                method="encode")
+        img_lat = jax.lax.stop_gradient(img_lat.astype(jnp.float32))
         image_latents = jnp.concatenate(
             [img_lat[:, :1], jnp.zeros_like(noisy_latents[:, 1:])], axis=1
         )

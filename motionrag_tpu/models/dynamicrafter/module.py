@@ -226,7 +226,15 @@ class DynamiCrafterModule:
         b, f, c, h, w = video.shape
         rngs = jax.random.split(rng, 7)
 
-        z = self.encode_first_stage(params, video, rngs[0])
+        # frozen first-stage: constants w.r.t. trainables — run under the
+        # fused Pallas GroupNorm (no-VJP kernel, guarded by stop_gradient;
+        # the XLA GroupNorm's fp32 materializations dominated the measured
+        # 26.6 GB train-step OOM at 16f 320x512)
+        from motionrag_tpu.ops.norms import pallas_norms
+
+        with pallas_norms():
+            z = self.encode_first_stage(params, video, rngs[0])
+        z = jax.lax.stop_gradient(z)
 
         # random conditioning frame (reference ddpm3d.py:1127-1128)
         if self.rand_cond_frame:

@@ -133,17 +133,27 @@ class SVDModule:
         b, f, c, h, w = video.shape
         rngs = jax.random.split(rng, 5)
 
-        # VAE encode all frames (mode)
+        # VAE encode all frames (mode). Frozen first-stage: constants
+        # w.r.t. trainables — fused Pallas GroupNorm (no-VJP kernel,
+        # guarded by the stop_gradient) avoids the XLA GroupNorm's fp32
+        # materializations inside the train step.
+        from motionrag_tpu.ops.norms import pallas_norms
+
         frames = video.reshape(b * f, c, h, w).transpose(0, 2, 3, 1).astype(self.dtype)
-        latents = self.vae.apply(params["vae"], frames, method="encode")
-        latents = latents.reshape(b, f, h // 8, w // 8, -1).astype(jnp.float32)
+        with pallas_norms():
+            latents = self.vae.apply(params["vae"], frames, method="encode")
+        latents = jax.lax.stop_gradient(
+            latents.reshape(b, f, h // 8, w // 8, -1).astype(jnp.float32))
 
         # noise-augmented condition latent from the first frame
         naug = log_normal(rngs[0], (b, 1, 1, 1), **self.condition_noise_config)
         cond_img = video[:, 0] + jax.random.normal(rngs[1], video[:, 0].shape) * naug
         cond_nhwc = cond_img.transpose(0, 2, 3, 1).astype(self.dtype)
-        cond_latent = self.vae.apply(params["vae"], cond_nhwc, method="encode")
-        cond_latent = (cond_latent / self.vae.scaling_factor).astype(jnp.float32)
+        with pallas_norms():
+            cond_latent = self.vae.apply(
+                params["vae"], cond_nhwc, method="encode")
+        cond_latent = jax.lax.stop_gradient(
+            (cond_latent / self.vae.scaling_factor).astype(jnp.float32))
         cond_latent = jnp.broadcast_to(cond_latent[:, None], latents.shape)
 
         # EDM: log-normal sigma, preconditioning
