@@ -68,7 +68,10 @@ def main():
     if not shapes:
         shapes = [(1, 48, 6976, 6976),    # CogVideoX 17f joint attention
                   (1, 48, 17776, 17776),  # CogVideoX 49f joint attention
-                  (16, 5, 9216, 9216)]    # DC/SVD L0 spatial (b*h=80)
+                  (16, 5, 9216, 9216),    # DC/SVD L0 spatial (b*h=80)
+                  (16, 10, 2304, 2304)]   # DC L1 spatial — the default
+                                          # 1536/1024 tile pads 2304 -> 3072
+                                          # on BOTH axes (78% extra compute)
 
     for b, h, s, kv in shapes:
         flops = 4 * s * kv * D * h * b
