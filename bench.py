@@ -187,11 +187,15 @@ def bench_dynamicrafter(small: bool):
         # (ops/quant.py); the default headline stays exact bf16
         env = __import__("os").environ
         module = DynamiCrafterModule(
-            # scan_blocks: numerically identical to the unrolled UNet
-            # (tests/test_unet_scan.py) but ~35% smaller sampler HLO — with
-            # the lax.map CFG dedup this attacks the 502 s cache-cold DC
-            # compile (VERDICT r3 #4). MRT_SCAN_UNET=0 restores unrolled.
-            unet=UNet3D(scan_blocks=env.get("MRT_SCAN_UNET", "1") == "1",
+            # scan_blocks measured cache-cold on the tunnel (r4): compile
+            # 522.9 s scanned vs 502.3 s unrolled (s7) — the wall-compile is
+            # NOT HLO-size-bound here — while runtime cost 41.37 vs 40.10
+            # s/video (~19 ms/forward of stacked-weight slicing). Unrolled
+            # is therefore the bench default; scan stays for TRAINING,
+            # where the fused fwd+bwd HLO is what blows the remote compile
+            # service (1115 s / killed-at-30-min, docs/benchmarks.md).
+            # MRT_SCAN_UNET=1 re-enables for experiments.
+            unet=UNet3D(scan_blocks=env.get("MRT_SCAN_UNET", "0") == "1",
                         dtype=dtype),
             dtype=dtype,
             cache_threshold=float(env.get("MRT_CACHE_THRESHOLD", 0)),

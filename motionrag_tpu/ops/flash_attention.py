@@ -326,6 +326,48 @@ def _fwd_kernel_t(
         ot_ref[0] = (acc[:d] * l_inv).astype(ot_ref.dtype)
 
 
+# Measured-best transposed-path tiles per self-attention protocol shape
+# (tools/sweep_flash_t.py on v5e, per-length-min in-launch-scan harness,
+# .bench_logs/sweep_flash_t_r4.out). The old static default (1536, 1024)
+# divides 9216 exactly but pads 6976 by 13.1% and 2304 by 77.8%:
+#   s=6976  (CogVideoX 17f joint): (1024, 896)  88.8 TFLOP/s (was 77.4)
+#   s=17776 (CogVideoX 49f joint): (1280, 1280) 94.9         (was 83.4)
+#   s=9216  (DC/SVD L0 spatial):   (1536, 768)  94.4         (was 92.4)
+#   s=2304  (DC/SVD L1 spatial):   (1152, 768)  95.2         (was 43.1)
+_T_TILE_TABLE = {
+    6976: (1024, 896),
+    17776: (1280, 1280),
+    9216: (1536, 768),
+    2304: (1152, 768),
+}
+
+
+def _t_tiles(q_len: int, kv_len: int) -> tuple[int, int]:
+    """Transposed-path tile chooser: measured table for the protocol
+    shapes, padding-minimizing heuristic otherwise.
+
+    Heuristic: both tiles must be multiples of 128 (bq is the lane dim of
+    every VPU op; bk the lane dim of the V^T tile — Mosaic's tile rule,
+    which interpret mode does not enforce). Among bq in [896, 1792] and
+    bk in [768, 1280] with the f32 score tile under ~8 MB of scoped VMEM,
+    minimize the padded score-matrix area; tie-break toward larger bq
+    (fewer grid steps) then smaller bk (measured: at zero padding,
+    (1536, 768) beats (1536, 1024+) at s=9216 and (1152, 768) wins at
+    s=2304 — exactly what this tie-break picks)."""
+    if q_len == kv_len and q_len in _T_TILE_TABLE:
+        return _T_TILE_TABLE[q_len]
+    best = (1536, 1024)
+    best_key = None
+    for bq in range(896, 1793, 128):
+        for bk in range(768, 1281, 128):
+            if bq * bk * 4 > 8 * 2 ** 20:
+                continue
+            key = (_ceil_to(q_len, bq) * _ceil_to(kv_len, bk), -bq, bk)
+            if best_key is None or key < best_key:
+                best_key, best = key, (bq, bk)
+    return best
+
+
 def _fwd_t(q, k, v, scale, block_q, block_k, interpret, qk_int8=False):
     """Transposed-layout forward: non-causal, no lse (inference path).
 
@@ -719,15 +761,13 @@ def _spmd_fwd(scale, causal, block_q, block_k, interpret, with_lse,
         # transposed layout wins whenever the head dim under-fills the MXU
         # lanes (d % 128 != 0) — non-causal inference only (no lse output)
         if not causal and q.shape[-1] % LANES != 0 and not no_t:
-            # its optimum is the canonical kernel's transposed: LARGE block_q
-            # (the lane dim of every VPU op) and a 1024-deep kv tile.
-            # v5e (ones-row, per-length-min harness): 1536/1024 measures
-            # 95.1 TFLOP/s at s=9216 bxh=80, 84.2 at s=6976 bxh=20, 84.6 at
-            # s=17776 bxh=48 — vs 81/64/73 for the canonical 1024/1536.
             bq = int(os.environ.get("MRT_FLASH_T_BQ", 0)) or (
-                block_q if _explicit else 1536)
+                block_q if _explicit else 0)
             bk = int(os.environ.get("MRT_FLASH_T_BK", 0)) or (
-                block_k if _explicit else 1024)
+                block_k if _explicit else 0)
+            if not bq or not bk:
+                abq, abk = _t_tiles(q.shape[1], k.shape[1])
+                bq, bk = bq or abq, bk or abk
             bq = min(bq, _ceil_to(q.shape[1], LANES))
             bk = min(bk, _ceil_to(k.shape[1], LANES))
             return _fwd_t(q, k, v, scale, bq, bk, interpret, qk_int8=qk_int8)
