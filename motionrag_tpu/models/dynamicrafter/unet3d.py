@@ -312,7 +312,9 @@ class _UNetBlockCell(nn.Module):
     def __call__(self, hidden, skip, emb, ctx, num_frames):
         if skip is not None:
             hidden = jnp.concatenate([hidden, skip], axis=-1)
-        hidden = LVDMResBlock(
+        res_cls = (nn.remat(LVDMResBlock, static_argnums=(3,))
+                   if self.remat else LVDMResBlock)
+        hidden = res_cls(
             self.out_channels, self.temb_dim, self.temporal_conv,
             dtype=self.dtype, name="res",
         )(hidden, emb, num_frames)
@@ -484,8 +486,16 @@ class UNet3D(nn.Module):
 
         xf = x.reshape(b * t, h, w, x.shape[-1])
 
+        # gradient checkpointing must also cover the resblocks: their
+        # 4-stage TemporalConvBlock keeps fp32 GroupNorm/tap intermediates
+        # at full L0 resolution, and leaving them out of remat was the bulk
+        # of the measured 29.5 GB adapter-train OOM on 16 GB
+        # (.bench_logs/train_dc_r4b.err — f32 [*,40,64,320/640] temps)
+        res_cls = (nn.remat(LVDMResBlock, static_argnums=(3,))
+                   if self.remat else LVDMResBlock)
+
         def res(out_ch, name):
-            return LVDMResBlock(
+            return res_cls(
                 out_ch, temb_dim, self.temporal_conv, dtype=self.dtype, name=name
             )
 
