@@ -34,6 +34,14 @@ def main():
                     default="cama")
     ap.add_argument("--small", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the per-chip batch (0 = config-exact). "
+                    "A reduced value is the per-chip MICROBATCH: the "
+                    "config-exact global batch is reached by gradient "
+                    "accumulation (accumulate_grad_batches in the trainer), "
+                    "so a b=1 measurement x accum factor is the honest "
+                    "single-16GB-chip read of the reference's per-80GB-GPU "
+                    "batch")
     args = ap.parse_args()
 
     import jax
@@ -227,6 +235,8 @@ def main():
             from motionrag_tpu.models.dynamicrafter.unet3d import UNet3D
 
             b, k, f, h, w, ref = 2, 1, 16, 320, 512, 224
+            if args.batch:
+                b = args.batch
             module = DynamiCrafterActionModule(
                 unet=UNet3D(action_cross_attention=True, remat=True,
                             scan_blocks=True, dtype=dtype),
