@@ -448,12 +448,13 @@ def main():
     ap.add_argument("--phase", choices=list(_PHASES), default=None,
                     help="internal: run one phase in-process and print its JSON")
     ap.add_argument("--budget", type=float,
-                    default=float(__import__("os").environ.get("MRT_BENCH_BUDGET", 1500)),
+                    default=float(__import__("os").environ.get("MRT_BENCH_BUDGET", 2400)),
                     help="wall-clock budget (s); the headline JSON line is "
-                    "guaranteed to print inside it. 1500 s leaves room for a "
-                    "cold DC sampler compile (~425 s measured) — BENCH_r01's "
-                    "rc=124 was a dead tunnel relay (now probed + failed "
-                    "fast), not budget exhaustion")
+                    "guaranteed to print inside it (the DC line lands by "
+                    "~1100 s even cache-cold: ragcama 420 cap + DC compile "
+                    "~530 + run). 2400 leaves the CogVideoX scoreboard "
+                    "line room to survive one cold sampler recompile "
+                    "(~325 s) on top of a cold DC phase")
     args = ap.parse_args()
     t_start = time.time()
 
