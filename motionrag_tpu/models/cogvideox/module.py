@@ -78,7 +78,11 @@ class CogVideoX5B:
         )
         self.eval_pipeline_call_kwargs = dict(eval_pipeline_call_kwargs or {})
         self.scheduler_name = self.eval_pipeline_call_kwargs.pop("scheduler", "ddim")
-        self.freeze_modules = tuple(freeze_modules)
+        # with text_encoder=False there is no text_encoder subtree — keep the
+        # default freeze list from tripping the Trainer's dead-pattern warning
+        self.freeze_modules = tuple(
+            m for m in freeze_modules
+            if not (m == "text_encoder" and self.text_encoder is None))
         self.full_trainable_modules = tuple(full_trainable_modules)
         self.lora_trainable_modules = tuple(lora_trainable_modules)
         self.lora_rank = lora_rank

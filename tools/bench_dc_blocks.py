@@ -27,6 +27,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _tick(msg):
+    # replaced by the watchdog-feeding tick on real-TPU runs (see main)
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny CPU smoke run")
@@ -41,6 +46,14 @@ def main():
 
     if args.small:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # relay-death protection (ADVICE r4): same stale-progress watchdog
+        # as bench.py / bench_cogvideox.py — per-level ticks feed it below
+        import os as _os
+
+        from tools.tpu_lock import start_watchdog
+        globals()["_tick"] = start_watchdog(
+            float(_os.environ.get("MRT_WATCHDOG_S", 1500)))
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
@@ -114,12 +127,11 @@ def main():
         p = temp.init(key, x0, t)
         results[f"L{li}_temporal_xfmr_ms"] = 1e3 * timeit(
             lambda p, x: temp.apply(p, x, t), p, mk)
-        print(f"L{li} (c={c} {h}x{w}): "
+        _tick(f"L{li} (c={c} {h}x{w}): "
               + ", ".join(f"{k.split('_', 1)[1]}={results[f'L{li}_{k.split(chr(95), 1)[1]}']:.1f}"
                           for k in (f"L{li}_resblock_tconv_ms",
                                     f"L{li}_spatial_xfmr_ms",
-                                    f"L{li}_temporal_xfmr_ms")),
-              file=sys.stderr, flush=True)
+                                    f"L{li}_temporal_xfmr_ms")))
 
     # ---- glue: everything the per-level block table does NOT cover -------
     # (VERDICT r3 #7: ~94 ms/forward unaccounted). init_attn runs at FULL
@@ -181,10 +193,10 @@ def main():
     results["glue_total_ms"] = (results["init_attn_ms"] + results["conv_in_ms"]
                                 + glue_down + glue_up
                                 + results["out_norm_conv_ms"])
-    print(f"glue: init_attn={results['init_attn_ms']:.1f} "
+    _tick(f"glue: init_attn={results['init_attn_ms']:.1f} "
           f"conv_in={results['conv_in_ms']:.1f} down={glue_down:.1f} "
           f"up={glue_up:.1f} out={results['out_norm_conv_ms']:.1f} "
-          f"total={results['glue_total_ms']:.1f}", file=sys.stderr, flush=True)
+          f"total={results['glue_total_ms']:.1f}")
 
     if not args.skip_full:
         unet = UNet3D(dtype=dtype) if not args.small else UNet3D(
@@ -214,8 +226,7 @@ def main():
         for i in range(1, reps + 1):
             float(fwd(p, mk1(i)))
         results["full_forward_ms"] = 1e3 * (time.time() - t0) / reps
-        print(f"full forward: {results['full_forward_ms']:.1f} ms",
-              file=sys.stderr, flush=True)
+        _tick(f"full forward: {results['full_forward_ms']:.1f} ms")
 
     # accounting at DC-1024 structure: down 2 / up 3 blocks per level
     # (+1 middle pair at L3); transformers at levels 0-2 and middle

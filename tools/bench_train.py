@@ -3,21 +3,20 @@
 (Trainer.setup + the jitted donated train_step — identical to `main.py fit`
 minus the data loader).
 
-Workloads (the reference's two training stages, config-exact scales):
+Workloads (the reference's five training stages, config-exact scales — see
+tools/train_workloads.py for the per-stage wiring and provenance):
 
 - ``cama``: stage-2 Motion Context Transformer training
-  (configs/motion_transformer/condition_trans_dino_dc_open.yml): batch 8,
-  K=9 RAG refs, 16f 224x224, frozen DINOv2-L + VideoMAE encoders, trainable
-  transformer + condition_proj.
 - ``dc_adapter``: stage-1 DynamiCrafter Motion-Adapter training
-  (configs/dynamicrafter/action_injection.yml): batch 2, 16f 320x512,
-  K=1 gt ref, trainable action cross-attn branches + action_proj.
+- ``svd_adapter``: stage-1 SVD Motion-Adapter training
+- ``cog_adapter``: stage-1 CogVideoX Motion-Adapter training
+- ``action_clip``: ActionCLIP contrastive pretraining
 
 Timing per the tunnel rules: distinct batches per step (the tunnel de-dupes
 identical executions), completion forced via the scalar loss fetch that the
 fit loop itself does at log steps.
 
-Usage: python tools/bench_train.py [--workload cama|dc_adapter] [--small]
+Usage: python tools/bench_train.py [--workload NAME] [--small]
 """
 
 import argparse
@@ -29,11 +28,16 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    from tools.train_workloads import WORKLOADS, build_workload
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", choices=["cama", "dc_adapter", "cog_adapter"],
-                    default="cama")
+    ap.add_argument("--workload", choices=WORKLOADS, default="cama")
     ap.add_argument("--small", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--fresh-cache", action="store_true",
+                    help="bypass the persistent compile cache so "
+                    "first_step_incl_compile_s measures a TRUE cold compile "
+                    "(not a cached-executable load)")
     ap.add_argument("--batch", type=int, default=0,
                     help="override the per-chip batch (0 = config-exact). "
                     "A reduced value is the per-chip MICROBATCH: the "
@@ -45,230 +49,23 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     if args.small:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    if not args.fresh_cache:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from motionrag_tpu.parallel.mesh import MeshConfig
     from motionrag_tpu.training.trainer import Trainer
 
-    dtype = jnp.bfloat16
-
-    if args.workload == "cama":
-        from motionrag_tpu.models.cama import (
-            ActionTransformer, SinusoidPositionalEmbeddings)
-        from motionrag_tpu.models.cama_module import ActionTransformerModule
-        from motionrag_tpu.models.encoders.condition import (
-            DINOImageEmbedder, VideoMAEEmbedder)
-        from motionrag_tpu.models.layers import TransformerEncoder
-        from motionrag_tpu.models.resampler import Resampler
-
-        if args.small:
-            b, k, f, size, dim = 1, 2, 4, 32, 64
-            vm = VideoMAEEmbedder(num_frames=4, image_size=32, dim=32,
-                                  depth=1, heads=2, dtype=dtype)
-            dino = DINOImageEmbedder(image_size=28, dim=32, depth=1, heads=2,
-                                     dtype=dtype)
-            rs = lambda ed: Resampler(dim=dim, depth=1, dim_head=16, heads=4,
-                                      num_queries=4, embedding_dim=ed,
-                                      output_dim=dim)
-            ct_trans = TransformerEncoder(num_layers=1, d_model=dim, nhead=4,
-                                          dim_feedforward=128)
-        else:
-            # condition_trans_dino_dc_open.yml scales. scan_blocks on the
-            # frozen encoders: numerically identical (tests/test_vit_scan.py)
-            # but ~depth-x smaller HLO — the unrolled 24-deep DINOv2-L +
-            # VideoMAE train-step graph exceeded the remote compile
-            # service's budget (>30 min, killed twice)
-            b, k, f, size, dim = 8, 9, 16, 224, 1024
-            vm = VideoMAEEmbedder(dtype=dtype, scan_blocks=True)
-            dino = DINOImageEmbedder(dtype=dtype, scan_blocks=True)
-            rs = lambda ed: Resampler(dim=1024, depth=4, dim_head=64,
-                                      heads=12, num_queries=25,
-                                      embedding_dim=ed, output_dim=1024)
-            ct_trans = TransformerEncoder(num_layers=4, d_model=1024,
-                                          nhead=16, dim_feedforward=4096)
-        module = ActionTransformerModule(ActionTransformer(
-            vision_model=vm, vision_proj=rs(vm.dim),
-            condition_model=dino, condition_proj=rs(dino.dim),
-            transformer=ct_trans,
-            vision_pe=SinusoidPositionalEmbeddings(dim, 2560),
-            condition_pe=SinusoidPositionalEmbeddings(dim, 2560),
-        ))
-
-        def make_batch(seed):
-            key = jax.random.key(seed)
-            return {
-                "ref_videos": jax.random.uniform(
-                    key, (b, k, f, 3, size, size), jnp.float32, -1, 1),
-                "video": jax.random.uniform(
-                    jax.random.fold_in(key, 1), (b, f, 3, size, size),
-                    jnp.float32, -1, 1),
-            }
-
-        metric = (f"CAMA stage-2 train step (b={b} K={k} {f}f {size}px, "
-                  "frozen DINOv2-L+VideoMAE, Trainer path)")
-    elif args.workload == "cog_adapter":
-        # Stage-1 CogVideoX Motion-Adapter training
-        # (configs/cogvideox/action_injection.yml: batch 1/chip, 17f 480x720,
-        # frozen 5.57B DiT, trainable action_proj + all 42 attn1.processor
-        # adapters, precision bf16-true). Single-16GB-chip adaptations, both
-        # documented in docs/benchmarks.md: (a) gradient_checkpointing=True
-        # (the reference's 80 GB A100s run without), (b) precomputed
-        # prompt_embeds via text_encoder=False (the reference's
-        # src/data/text_cache.py idiom — T5-XXL at 9.5 GB bf16 cannot
-        # co-reside with the DiT). scan_blocks keeps the 42-block bwd HLO
-        # compilable by the remote service (trainable pattern '*.processor'
-        # matches the stacked scan layout).
-        from motionrag_tpu.models.cogvideox.dit import CogVideoXTransformer3D
-        from motionrag_tpu.models.cogvideox.module import CogVideoX5BAction
-        from motionrag_tpu.models.encoders.condition import VideoMAEEmbedder
-        from motionrag_tpu.models.resampler import Resampler
-
-        if args.small:
-            from motionrag_tpu.models.cogvideox.vae3d import CogVideoXVAE
-
-            b, k, f, h, w, ref, text_dim, s_text = 1, 1, 5, 48, 48, 32, 32, 8
-            sites = tuple(f"transformer_blocks.{i}.attn1.processor"
-                          for i in range(2))
-            module = CogVideoX5BAction(
-                adapter_modules=sites,
-                transformer=CogVideoXTransformer3D(
-                    in_channels=32, out_channels=16, dim=64, depth=2, heads=4,
-                    head_dim=16, text_embed_dim=text_dim, time_embed_dim=32,
-                    adapter_sites=sites, remat=True,
-                    scan_blocks=True, dtype=dtype),
-                vae=CogVideoXVAE(block_out_channels=(32, 32, 32, 32),
-                                 layers_per_block=1, dtype=dtype),
-                text_encoder=False,
-                action_embedder=VideoMAEEmbedder(
-                    num_frames=4, image_size=32, dim=32, depth=1, heads=2,
-                    dtype=dtype),
-                action_proj_model=Resampler(
-                    dim=64, depth=1, dim_head=16, heads=4, num_queries=4,
-                    embedding_dim=32, output_dim=64, dtype=dtype),
-                full_trainable_modules=("action_proj_model", "*.processor"),
-                dtype=dtype,
-            )
-        else:
-            b, k, f, h, w, ref, text_dim, s_text = 1, 1, 17, 480, 720, 224, 4096, 226
-            sites = tuple(f"transformer_blocks.{i}.attn1.processor"
-                          for i in range(42))
-            module = CogVideoX5BAction(
-                adapter_modules=sites,
-                transformer=CogVideoXTransformer3D(
-                    adapter_sites=sites, remat=True, scan_blocks=True,
-                    dtype=dtype),
-                text_encoder=False,
-                action_embedder=VideoMAEEmbedder(dtype=dtype, scan_blocks=True),
-                action_proj_model=Resampler(
-                    dim=1024, depth=4, dim_head=64, heads=12, num_queries=25,
-                    embedding_dim=768, output_dim=1024, dtype=dtype),
-                full_trainable_modules=("action_proj_model", "*.processor"),
-                dtype=dtype,
-            )
-
-        def make_batch(seed):
-            key = jax.random.key(seed)
-            return {
-                "video": jax.random.uniform(
-                    key, (b, f, 3, h, w), jnp.float32, -1, 1),
-                "prompt_embeds": jax.random.normal(
-                    jax.random.fold_in(key, 2), (b, s_text, text_dim), dtype),
-                "ref_videos": jax.random.uniform(
-                    jax.random.fold_in(key, 1), (b, k, f, 3, ref, ref),
-                    jnp.float32, -1, 1),
-            }
-
-        metric = (f"CogVideoX-5B stage-1 Motion-Adapter train step (b={b} "
-                  f"{f}f {h}x{w}, frozen 5.57B DiT bf16-true, remat+scan, "
-                  "cached T5 embeds, Trainer path)")
-    else:
-        from motionrag_tpu.models.dynamicrafter.module import (
-            DynamiCrafterActionModule)
-        from motionrag_tpu.models.encoders.condition import VideoMAEEmbedder
-        from motionrag_tpu.models.resampler import Resampler
-
-        if args.small:
-            from motionrag_tpu.models.dynamicrafter.unet3d import UNet3D
-            from motionrag_tpu.models.dynamicrafter.vae import AutoencoderKL2D
-            from motionrag_tpu.models.encoders.clip_text import CLIPTextEncoder
-            from motionrag_tpu.models.encoders.condition import CLIPImageEmbedder
-
-            b, k, f, h, w, ref = 1, 1, 4, 64, 64, 32
-            module = DynamiCrafterActionModule(
-                unet=UNet3D(model_channels=32, channel_mult=(1, 2),
-                            num_head_channels=16, context_dim=64,
-                            action_cross_attention=True, dtype=dtype),
-                vae=AutoencoderKL2D(block_out_channels=(32, 32, 32, 32),
-                                    dtype=dtype),
-                text_encoder=CLIPTextEncoder(dim=64, depth=2, heads=2,
-                                             dtype=dtype),
-                image_encoder=CLIPImageEmbedder(image_size=64, patch_size=32,
-                                                dim=64, depth=1, heads=2,
-                                                pooled=False, dtype=dtype),
-                image_proj=Resampler(dim=64, depth=1, dim_head=16, heads=4,
-                                     num_queries=4, embedding_dim=64,
-                                     output_dim=64, video_length=4,
-                                     dtype=dtype),
-                action_embedder=VideoMAEEmbedder(
-                    num_frames=4, image_size=32, dim=32, depth=1, heads=2,
-                    dtype=dtype),
-                action_proj=Resampler(dim=64, depth=1, dim_head=16, heads=4,
-                                      num_queries=4, embedding_dim=32,
-                                      output_dim=64, dtype=dtype),
-                full_trainable_modules=(
-                    "action_proj", "unet.*.to_q_a", "unet.*.to_k_a",
-                    "unet.*.to_v_a"),
-                dtype=dtype,
-            )
-        else:
-            # action_injection.yml scales: 16f 320x512, batch 2, gt ref.
-            # remat=True is a documented single-16GB-chip adaptation (the
-            # reference trains this on 80 GB A100s with use_checkpoint:
-            # false — without remat the step needs 26.6 GB of activations,
-            # measured OOM); scan_blocks shrinks the fwd+bwd HLO for the
-            # remote compile service.
-            from motionrag_tpu.models.dynamicrafter.unet3d import UNet3D
-
-            b, k, f, h, w, ref = 2, 1, 16, 320, 512, 224
-            if args.batch:
-                b = args.batch
-            module = DynamiCrafterActionModule(
-                unet=UNet3D(action_cross_attention=True, remat=True,
-                            scan_blocks=True, dtype=dtype),
-                action_embedder=VideoMAEEmbedder(dtype=dtype, scan_blocks=True),
-                action_proj=Resampler(dim=1024, depth=4, dim_head=64,
-                                      heads=12, num_queries=25,
-                                      embedding_dim=768, output_dim=1024,
-                                      dtype=dtype),
-                full_trainable_modules=(
-                    "action_proj", "unet.*.to_q_a", "unet.*.to_k_a",
-                    "unet.*.to_v_a", "unet.*.alpha_action"),
-                dtype=dtype,
-            )
-
-        def make_batch(seed):
-            key = jax.random.key(seed)
-            return {
-                "video": jax.random.uniform(
-                    key, (b, f, 3, h, w), jnp.float32, -1, 1),
-                "prompt_ids": jnp.zeros((b, 77), jnp.int32),
-                "ref_videos": jax.random.uniform(
-                    jax.random.fold_in(key, 1), (b, k, f, 3, ref, ref),
-                    jnp.float32, -1, 1),
-            }
-
-        metric = (f"DynamiCrafter Motion-Adapter train step (b={b} {f}f "
-                  f"{h}x{w}, Trainer path)")
+    module, make_batch, metric, lr = build_workload(
+        args.workload, args.small, args.batch)
 
     trainer = Trainer(
         max_steps=args.steps,
         mesh_config=MeshConfig(dp=1),
-        optimizer_config={"learning_rate": 1e-4},
+        optimizer_config={"learning_rate": lr},
         default_root_dir="/tmp/bench_train_runs",
         checkpoint_every_n_steps=0,
         val_check_interval=0,

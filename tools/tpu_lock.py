@@ -29,6 +29,35 @@ import time
 LOCK_PATH = "/root/repo/.tpu_lock"
 
 
+def start_watchdog(stale_s: float = 1500.0):
+    """Stale-progress watchdog shared by the TPU benches.
+
+    The tunnel relay can die mid-run, leaving the host blocked forever in a
+    remote call (observed: backend-init and in-sampler hangs). A blocked
+    thread can't time itself out, so a daemon thread hard-exits the process
+    when no progress lands for ``stale_s``. Returns a ``tick(msg)`` callable
+    that prints the message to stderr AND feeds the watchdog.
+    """
+    import threading
+
+    progress_ts = [time.monotonic()]
+
+    def tick(msg: str) -> None:
+        progress_ts[0] = time.monotonic()
+        print(msg, file=sys.stderr, flush=True)
+
+    def run():
+        while True:
+            time.sleep(30)
+            if time.monotonic() - progress_ts[0] > stale_s:
+                print(f"WATCHDOG: no progress for {stale_s:.0f}s — tunnel "
+                      "likely dead; aborting", file=sys.stderr, flush=True)
+                os._exit(3)
+
+    threading.Thread(target=run, daemon=True).start()
+    return tick
+
+
 @contextlib.contextmanager
 def tpu_lock(timeout: float | None = None, path: str = LOCK_PATH):
     # Re-entrancy across process trees: several TPU tools re-exec themselves

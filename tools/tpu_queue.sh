@@ -22,9 +22,11 @@ echo "$(date -u +%T) [q] relay alive; starting queue" >> "$LOG/queue.log"
 
 run() {
   name=$1; key=$2; shift 2
-  # skip phases that already produced a SUCCESS result (a phase that fails
-  # fast still prints a parseable JSON error line — don't count that)
-  if [ -s "$LOG/$name.out" ] && grep -q "\"$key\"" "$LOG/$name.out"; then
+  # skip phases that already produced a SUCCESS result: the key must carry a
+  # finite numeric value on a line without an "error" field (a fail-fast or
+  # NaN-fallback JSON line never counts as measured — ADVICE r3/r4)
+  if [ -s "$LOG/$name.out" ] && grep -E "\"$key\": *-?[0-9]" "$LOG/$name.out" \
+      | grep -qv '"error"'; then
     echo "$(date -u +%T) [q] SKIP $name (already measured)" >> "$LOG/queue.log"
     return
   fi
