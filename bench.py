@@ -439,6 +439,33 @@ def _tunnel_relay_alive(timeout_s: float = 3.0) -> bool:
         return False
 
 
+def _restore_bench_cache():
+    """Hardlink any git-tracked ``bench_cache/`` entries missing from the
+    live ``.jax_cache`` (no-op when warm; same-FS links are free)."""
+    import os
+
+    snap = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
+    cache = "/root/repo/.jax_cache"
+    if not os.path.isdir(snap):
+        return
+    os.makedirs(cache, exist_ok=True)
+    n = 0
+    for name in os.listdir(snap):
+        src, dst = os.path.join(snap, name), os.path.join(cache, name)
+        if not os.path.isfile(src) or os.path.exists(dst):
+            continue
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copy2(src, dst)
+        n += 1
+    if n:
+        print(f"restored {n} persistent-cache entries from bench_cache/",
+              file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny CPU smoke sizes")
@@ -469,6 +496,13 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:  # noqa: BLE001
         pass
+    # session resets wipe .jax_cache; re-seed it from the git-tracked
+    # snapshot (tools/snapshot_bench_cache.py) so a from-clean-checkout run
+    # pays the ~199 s executable LOAD, not the ~522 s DC sampler compile
+    try:
+        _restore_bench_cache()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench_cache restore skipped: {e}", file=sys.stderr)
 
     if args.phase:
         import contextlib
