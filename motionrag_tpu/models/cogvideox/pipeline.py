@@ -90,7 +90,8 @@ class CogVideoXImageToVideoPipeline:
     def _decode_whole(self, variables, z):
         return self.vae.apply(variables, z, method="decode")
 
-    def _decode_latents(self, params, latents, frame_batch_size: int = 2):
+    def _decode_latents(self, params, latents, frame_batch_size: int = 2,
+                        schedule=None):
         """Streaming frame-batched decode (the reference's default diffusers
         decode path). Caps per-launch activation memory AND device-program
         runtime — both load-bearing at 49f where a monolithic decode OOMs.
@@ -104,11 +105,12 @@ class CogVideoXImageToVideoPipeline:
         from motionrag_tpu.models.cogvideox.vae3d import decode_chunked
 
         with pallas_norms():
-            if latents.shape[1] <= frame_batch_size + 1:
+            if schedule is None and latents.shape[1] <= frame_batch_size + 1:
                 return self._decode_whole(params["vae"], latents.astype(self.dtype))
             return decode_chunked(
                 self.vae, params["vae"], latents.astype(self.dtype), frame_batch_size,
                 decode_fn=lambda variables, z, mutable: self._decode_chunk(variables, z),
+                schedule=schedule,
             )
 
     def prepare_action_embeddings(self, params, ref_videos, metadata, rng=None,

@@ -309,7 +309,7 @@ class CogVideoXVAE(nn.Module):
 
 
 def decode_chunked(vae: CogVideoXVAE, params, latents, frame_batch_size: int = 2,
-                   decode_fn=None):
+                   decode_fn=None, schedule=None):
     """Streaming decode: latent frames in chunks of ``frame_batch_size``
     (first chunk absorbs the remainder so it carries the true first frame),
     causal conv caches threaded between chunks — the reference's default
@@ -319,20 +319,38 @@ def decode_chunked(vae: CogVideoXVAE, params, latents, frame_batch_size: int = 2
     chunk apply (e.g. jit); it must forward to ``vae.apply(..., chunked=True,
     method='decode')`` and return ``(frames, {'cache': ...})``.
 
-    The python loop runs at most two distinct chunk shapes (first, rest), so
-    jitting ``decode_fn`` costs two compiles and keeps every device program
-    small — load-bearing under the tunnel's program-runtime kill."""
+    ``schedule`` (chunk sizes summing to the latent frame count) overrides
+    the fixed batch size. SERVING-ONLY: chunk layout is NOT numerics-free —
+    the decoder's GroupNorm statistics span the chunk's time axis (exactly
+    diffusers' GroupNorm over (T, H, W)), so different layouts produce
+    different frames (measured ~1.0 max abs at random init, every frame).
+    The reference eval protocol is the diffusers default layout — fixed
+    ``frame_batch_size=2`` with the remainder-absorbing first chunk — which
+    is what ``schedule=None`` reproduces; protocol benches must not pass a
+    schedule. The causal conv caches do make every layout causal (frame t
+    never sees t+1).
+
+    The python loop runs at most a few distinct chunk shapes, so jitting
+    ``decode_fn`` costs one compile per distinct size and keeps every device
+    program small — load-bearing under the tunnel's program-runtime kill."""
     t = latents.shape[1]
     if decode_fn is None:
         def decode_fn(variables, z, mutable):
             return vae.apply(variables, z, True, method="decode", mutable=mutable)
-    n_chunks = max(t // frame_batch_size, 1)
-    rem = t % frame_batch_size if t > frame_batch_size else 0
+    if schedule is None:
+        n_chunks = max(t // frame_batch_size, 1)
+        rem = t % frame_batch_size if t > frame_batch_size else 0
+        bounds = [(i * frame_batch_size + (0 if i == 0 else rem),
+                   (i + 1) * frame_batch_size + rem) for i in range(n_chunks)]
+    else:
+        assert sum(schedule) == t, f"schedule {schedule} != {t} latent frames"
+        bounds, pos = [], 0
+        for size in schedule:
+            bounds.append((pos, pos + size))
+            pos += size
     outs = []
     cache = {}
-    for i in range(n_chunks):
-        start = i * frame_batch_size + (0 if i == 0 else rem)
-        end = (i + 1) * frame_batch_size + rem
+    for start, end in bounds:
         variables = dict(params)
         if cache:
             variables["cache"] = cache

@@ -130,6 +130,16 @@ class UNetSpatioTemporal(nn.Module):
         # num_frames (3rd call arg) must stay static under jax.checkpoint
         return nn.remat(TransformerSpatioTemporal, static_argnums=(3,))
 
+    def _res_cls(self):
+        """remat covers the resblocks too — the reference UNet checkpoints
+        ResBlocks AND transformers (same lesson as the DC UNet, round 4:
+        transformers-only remat left the full-res spatial+temporal resnet
+        intermediates live and the b=1 16f 576x1024 adapter train step
+        OOMed at 13.9 GB of HLO temps, bench_results/train_svd_r5)."""
+        if not self.remat:
+            return SpatioTemporalResBlock
+        return nn.remat(SpatioTemporalResBlock, static_argnums=(3,))
+
     def _has_adapter(self, site: str) -> bool:
         return f"{site}.transformer_blocks.0.attn2.processor" in set(self.adapter_sites)
 
@@ -169,7 +179,7 @@ class UNetSpatioTemporal(nn.Module):
         for i, out_ch in enumerate(self.block_out_channels):
             is_final = i == n_blocks - 1
             for j in range(self.layers_per_block):
-                x = SpatioTemporalResBlock(
+                x = self._res_cls()(
                     out_ch, temb_dim, dtype=self.dtype,
                     name=f"down_blocks_{i}_resnets_{j}",
                 )(x, emb, f)
@@ -189,7 +199,7 @@ class UNetSpatioTemporal(nn.Module):
                 residuals.append(x)
 
         # mid
-        x = SpatioTemporalResBlock(
+        x = self._res_cls()(
             self.block_out_channels[-1], temb_dim, dtype=self.dtype, name="mid_block_resnets_0"
         )(x, emb, f)
         x = self._transformer_cls()(
@@ -197,7 +207,7 @@ class UNetSpatioTemporal(nn.Module):
             with_adapter=self._has_adapter("mid_block.attentions.0"),
             adapter_scale=self.adapter_scale, dtype=self.dtype, name="mid_block_attentions_0",
         )(x, context, f, action_emb=action_emb)
-        x = SpatioTemporalResBlock(
+        x = self._res_cls()(
             self.block_out_channels[-1], temb_dim, dtype=self.dtype, name="mid_block_resnets_1"
         )(x, emb, f)
 
@@ -208,7 +218,7 @@ class UNetSpatioTemporal(nn.Module):
             for j in range(self.layers_per_block + 1):
                 res = residuals.pop()
                 x = jnp.concatenate([x, res], axis=-1)
-                x = SpatioTemporalResBlock(
+                x = self._res_cls()(
                     out_ch, temb_dim, dtype=self.dtype, name=f"up_blocks_{i}_resnets_{j}"
                 )(x, emb, f)
                 if not is_first:

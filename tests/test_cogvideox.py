@@ -152,6 +152,37 @@ def test_vae3d_chunked_decode():
     assert not np.allclose(np.asarray(out[:, 41:]), np.asarray(out2[:, 41:]), atol=1e-4)
 
 
+def test_vae3d_decode_schedule_serving_only():
+    """Explicit chunk schedules are a SERVING-ONLY knob: shape-correct and
+    causal, but NOT numerically protocol-equivalent — the decoder GroupNorm
+    statistics span the chunk's time axis (exactly diffusers' GroupNorm over
+    (T, H, W)), so the reference protocol is pinned to the default fbs=2
+    layout and any other layout measurably differs. This test documents
+    both facts so the protocol pin can't silently drift."""
+    from motionrag_tpu.models.cogvideox.vae3d import decode_chunked
+
+    vae = tiny_vae()
+    z = jnp.asarray(
+        np.random.default_rng(5).normal(size=(1, 5, 4, 4, 4)), jnp.float32
+    )
+    params = vae.init(jax.random.key(0), jnp.zeros((1, 9, 32, 32, 3)))
+    ref = decode_chunked(vae, params, z, frame_batch_size=2)  # protocol (3, 2)
+    for schedule in ((1, 2, 2), (1, 4), (5,)):
+        out = decode_chunked(vae, params, z, schedule=schedule)
+        assert out.shape == ref.shape
+        assert np.isfinite(np.asarray(out)).all()
+        # layout changes the GroupNorm time-window -> different frames
+        assert not np.allclose(np.asarray(ref), np.asarray(out), atol=1e-3), schedule
+
+    # causality holds for any schedule: perturbing the last chunk's latents
+    # leaves every earlier frame untouched
+    z2 = z.at[:, 3:].add(1.0)
+    a = decode_chunked(vae, params, z, schedule=(1, 2, 2))
+    b = decode_chunked(vae, params, z2, schedule=(1, 2, 2))
+    np.testing.assert_allclose(np.asarray(a[:, :9]), np.asarray(b[:, :9]),
+                               atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def cog_setup():
     module = CogVideoX5B(

@@ -75,6 +75,10 @@ def build_parser():
                     "for comparison")
     ap.add_argument("--frames", type=int, default=17,
                     help="49 = the north-star protocol (17,550 video tokens)")
+    ap.add_argument("--decode-schedule", default=None,
+                    help="explicit decode chunk sizes in latent frames, "
+                    "comma-separated (e.g. '1,4' at 17f) — numerics are "
+                    "layout-independent; overrides the candidate layouts")
     ap.add_argument("--cache-threshold", type=float, default=0.0,
                     help="adaptive output caching (TeaCache-style); 0 = "
                     "exact reference protocol — cached numbers are reported "
@@ -308,23 +312,33 @@ def run_decode(args):
     jax.block_until_ready(vae_params)
     lat = jnp.asarray(np.load(os.path.join(args.state_dir, "latents.npy")),
                       dtype)
-    # warmup (compile) with a perturbed input, then the timed run; the
-    # full-res decoder stages brush the HBM ceiling at frame_batch_size=2,
-    # so fall back to 1 (half the chunk working set) if the compile OOMs
-    fbs = 2
-    for fbs in (2, 1):
+    # warmup (compile) with a perturbed input, then the timed run.
+    # PROTOCOL NOTE: chunk layout is not numerics-free (decoder GroupNorm
+    # stats span the chunk time axis, exactly diffusers') — the reference
+    # protocol is the fbs=2 default layout, fbs=1 is the documented OOM
+    # fallback, and --decode-schedule is a SERVING-ONLY knob whose output
+    # differs from protocol (motionrag_tpu/models/cogvideox/vae3d.py).
+    if args.decode_schedule:
+        layouts = [("sched:" + args.decode_schedule,
+                    dict(schedule=tuple(
+                        int(x) for x in args.decode_schedule.split(","))))]
+    else:
+        layouts = [("fbs=2", dict(frame_batch_size=2)),
+                   ("fbs=1", dict(frame_batch_size=1))]
+    last = len(layouts) - 1
+    for i, (name, kw) in enumerate(layouts):
         try:
             float(jnp.mean(pipe._decode_latents(
-                vae_params, lat, frame_batch_size=fbs).astype(jnp.float32)))
+                vae_params, lat, **kw).astype(jnp.float32)))
             break
         except Exception as e:  # noqa: BLE001
-            _tick(f"decode warmup fbs={fbs} failed: {str(e)[:200]}")
-            if fbs == 1:
+            _tick(f"decode warmup {name} failed: {str(e)[:200]}")
+            if i == last:
                 raise
-    _tick(f"decode warmup done (frame_batch_size={fbs})")
+    _tick(f"decode warmup done ({name})")
     t0 = time.time()
     float(jnp.mean(pipe._decode_latents(
-        vae_params, lat * 1.001, frame_batch_size=fbs).astype(jnp.float32)))
+        vae_params, lat * 1.001, **kw).astype(jnp.float32)))
     decode_s = time.time() - t0
     with open(os.path.join(args.state_dir, "decode.json"), "w") as fh:
         json.dump({"decode_s": decode_s}, fh)

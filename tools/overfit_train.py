@@ -106,14 +106,33 @@ def run_overfit(workload: str, small: bool, steps: int, lr: float | None,
         loss, _ = module.loss(merged(params), sharded, eval_rng)
         return loss
 
+    def _with_compile_retries(fn, what, tries=3):
+        # the remote compile service is flaky for big modules (CLAUDE.md:
+        # broken-pipe / RESOURCE_EXHAUSTED are compile-side); retry the
+        # compile-triggering first calls the way bench.py does
+        for attempt in range(tries):
+            try:
+                return fn()
+            except jax.errors.JaxRuntimeError as e:
+                if attempt == tries - 1:
+                    raise
+                log(f"[{workload}] {what} compile attempt {attempt + 1} "
+                    f"failed ({str(e)[:120]}); retrying in 30s")
+                time.sleep(30)
+
     curve = []  # (step, fixed-rng eval loss)
     t0 = time.time()
     with trainer.mesh:
-        curve.append((0, float(jax.device_get(eval_loss(state.params)))))
+        curve.append((0, float(jax.device_get(_with_compile_retries(
+            lambda: eval_loss(state.params), "eval")))))
         log(f"[{workload}] step 0: eval_loss={curve[-1][1]:.6f} "
             f"(setup {setup_s:.1f}s)")
         for step in range(1, steps + 1):
-            state, metrics = step_fn(state, sharded)
+            if step == 1:
+                state, metrics = _with_compile_retries(
+                    lambda: step_fn(state, sharded), "train-step")
+            else:
+                state, metrics = step_fn(state, sharded)
             if step % eval_every == 0 or step == steps:
                 el = float(jax.device_get(eval_loss(state.params)))
                 tl = float(jax.device_get(metrics["train/main_loss"]))
