@@ -60,12 +60,19 @@ def tp_partition_rules():
     return CogVideoXTransformer3D.partition_rules()
 
 
-def _apply_rope_bhsd(x: jnp.ndarray, cache: jnp.ndarray) -> jnp.ndarray:
-    """RoPE on [b, h, s, d] with cache [s, d/2, 2]; interleaved pairs."""
+def _apply_rope_bshd(x: jnp.ndarray, cache: jnp.ndarray) -> jnp.ndarray:
+    """RoPE on [b, s, h, d] with cache [s, d/2, 2]; interleaved pairs
+    (diffusers apply_rotary_emb use_real+interleaved contract) — identical
+    fp32 math to the previous BHSD formulation (same per-element
+    products/sums) without the [b,s,h,d] <-> [b,h,s,d] round-trip
+    transposes that layout forced at every call site (two ~40 MB
+    materializations per q/k per block at 49f; dot_product_attention takes
+    BSHD, so the transposes were pure HBM traffic). Bit-identity is pinned
+    by the DiT activation-parity tests."""
     orig = x.dtype
     xf = x.astype(jnp.float32).reshape(x.shape[:-1] + (-1, 2))
-    cos = cache[None, None, :, :, 0]
-    sin = cache[None, None, :, :, 1]
+    cos = cache[None, :, None, :, 0]
+    sin = cache[None, :, None, :, 1]
     x0, x1 = xf[..., 0], xf[..., 1]
     out = jnp.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], axis=-1)
     return out.reshape(x.shape).astype(orig)
@@ -146,10 +153,10 @@ class CogVideoXBlock(nn.Module):
         qh = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_q")(qh)
         kh = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_k")(kh)
         if rope_cache is not None:
-            qv = _apply_rope_bhsd(qh[:, st:].transpose(0, 2, 1, 3), rope_cache)
-            kv_ = _apply_rope_bhsd(kh[:, st:].transpose(0, 2, 1, 3), rope_cache)
-            qh = jnp.concatenate([qh[:, :st], qv.transpose(0, 2, 1, 3)], axis=1)
-            kh = jnp.concatenate([kh[:, :st], kv_.transpose(0, 2, 1, 3)], axis=1)
+            qh = jnp.concatenate(
+                [qh[:, :st], _apply_rope_bshd(qh[:, st:], rope_cache)], axis=1)
+            kh = jnp.concatenate(
+                [kh[:, :st], _apply_rope_bshd(kh[:, st:], rope_cache)], axis=1)
         if self._sp_ring_size(s):
             from motionrag_tpu.ops.ring_attention import ring_attention_bshd
 
