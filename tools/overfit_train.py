@@ -101,9 +101,13 @@ def run_overfit(workload: str, small: bool, steps: int, lr: float | None,
     eval_rng = jax.random.key(1234)
 
     @jax.jit
-    def eval_loss(params):
-        # deterministic: fixed batch + fixed rng -> descent == learning
-        loss, _ = module.loss(merged(params), sharded, eval_rng)
+    def eval_loss(params, batch, rng):
+        # deterministic: fixed batch + fixed rng -> descent == learning.
+        # batch/rng MUST be arguments, not closed-over: jit embeds closed-over
+        # device arrays as HLO constants, and the CAMA batch (b=8 K=9 16f
+        # 224px) pushed the remote-compile upload over the relay's body limit
+        # (HTTP 413, deterministic — observed round 5).
+        loss, _ = module.loss(merged(params), batch, rng)
         return loss
 
     def _with_compile_retries(fn, what, tries=3):
@@ -124,7 +128,7 @@ def run_overfit(workload: str, small: bool, steps: int, lr: float | None,
     t0 = time.time()
     with trainer.mesh:
         curve.append((0, float(jax.device_get(_with_compile_retries(
-            lambda: eval_loss(state.params), "eval")))))
+            lambda: eval_loss(state.params, sharded, eval_rng), "eval")))))
         log(f"[{workload}] step 0: eval_loss={curve[-1][1]:.6f} "
             f"(setup {setup_s:.1f}s)")
         for step in range(1, steps + 1):
@@ -134,7 +138,8 @@ def run_overfit(workload: str, small: bool, steps: int, lr: float | None,
             else:
                 state, metrics = step_fn(state, sharded)
             if step % eval_every == 0 or step == steps:
-                el = float(jax.device_get(eval_loss(state.params)))
+                el = float(jax.device_get(
+                    eval_loss(state.params, sharded, eval_rng)))
                 tl = float(jax.device_get(metrics["train/main_loss"]))
                 curve.append((step, el))
                 log(f"[{workload}] step {step}: eval_loss={el:.6f} "
