@@ -335,7 +335,10 @@ def _fwd_kernel_t(
 #   s=9216  (DC/SVD L0 spatial):   (1536, 768)  94.4         (was 92.4)
 #   s=2304  (DC/SVD L1 spatial):   (1152, 768)  95.2         (was 43.1)
 _T_TILE_TABLE = {
-    6976: (1024, 896),
+    # round-5 micro-sweep (bk<768 was outside the round-4 grid): (1792,640)
+    # beats (1024,896) 6.5-6.8 ms vs 7.3-7.7 ms across interleaved reps
+    # (.bench_logs/sweep_6976_r5.out) — 2.75% q-padding, 0.9% kv-padding
+    6976: (1792, 640),
     17776: (1280, 1280),
     9216: (1536, 768),
     2304: (1152, 768),
